@@ -1,0 +1,83 @@
+"""libsvm parser + dataset semantics (reference contract: DeepFM.py:63-98)."""
+
+import numpy as np
+import pytest
+
+from tf_repos_tpu.data.libsvm import LibsvmDataset, parse_libsvm_lines
+from tf_repos_tpu.data.pipeline import Prefetcher, shard_files_for_host
+from tf_repos_tpu.data.synthetic import write_synthetic_libsvm
+
+
+def test_parse_fast_path():
+    lines = [b"1 1:0.5 7:1 240:1", b"0 2:0.25 9:1 13:1"]
+    ids, vals, labels = parse_libsvm_lines(lines, 3)
+    np.testing.assert_array_equal(labels, [1.0, 0.0])
+    np.testing.assert_array_equal(ids, [[1, 7, 240], [2, 9, 13]])
+    np.testing.assert_allclose(vals, [[0.5, 1, 1], [0.25, 1, 1]])
+
+
+def test_parse_ragged_pads_and_truncates():
+    lines = [b"1 1:0.5", b"0 2:1 3:1 4:1 5:1"]
+    ids, vals, labels = parse_libsvm_lines(lines, 3)
+    np.testing.assert_array_equal(ids, [[1, 0, 0], [2, 3, 4]])
+    np.testing.assert_allclose(vals, [[0.5, 0, 0], [1, 1, 1]])
+
+
+def test_dataset_batching_and_padding(tmp_path):
+    path = str(tmp_path / "tr.libsvm")
+    write_synthetic_libsvm(path, 25, feature_size=500)
+    ds = LibsvmDataset([path], field_size=39, batch_size=10, num_epochs=1)
+    batches = list(ds)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["feat_ids"].shape == (10, 39)
+        assert b["feat_vals"].shape == (10, 39)
+        assert b["label"].shape == (10,)
+    # final batch padded with mask
+    assert batches[-1]["mask"].sum() == 5
+    assert batches[0]["mask"].sum() == 10
+
+
+def test_dataset_epochs_and_shuffle_preserve_multiset(tmp_path):
+    path = str(tmp_path / "tr.libsvm")
+    write_synthetic_libsvm(path, 20, feature_size=500)
+    ds = LibsvmDataset(
+        [path], field_size=39, batch_size=5, num_epochs=2, perform_shuffle=True, seed=1
+    )
+    seen = []
+    for b in ds:
+        seen.extend(b["feat_ids"][:, 13].tolist())
+    assert len(seen) == 40
+    base = LibsvmDataset([path], field_size=39, batch_size=5)
+    ref = []
+    for b in base:
+        ref.extend(b["feat_ids"][:, 13].tolist())
+    assert sorted(seen) == sorted(ref * 2)
+
+
+def test_drop_remainder(tmp_path):
+    path = str(tmp_path / "tr.libsvm")
+    write_synthetic_libsvm(path, 25, feature_size=500)
+    ds = LibsvmDataset([path], field_size=39, batch_size=10, drop_remainder=True)
+    assert len(list(ds)) == 2
+
+
+def test_prefetcher_propagates_and_orders():
+    items = list(range(100))
+    assert list(Prefetcher(iter(items), size=4)) == items
+
+    def boom():
+        yield 1
+        raise RuntimeError("kaput")
+
+    with pytest.raises(RuntimeError, match="kaput"):
+        list(Prefetcher(boom(), size=2))
+
+
+def test_shard_files_for_host():
+    files = [f"f{i}" for i in range(10)]
+    s0 = shard_files_for_host(files, 0, 4)
+    s1 = shard_files_for_host(files, 1, 4)
+    all_shards = sum((shard_files_for_host(files, i, 4) for i in range(4)), [])
+    assert sorted(all_shards) == sorted(files)
+    assert not set(s0) & set(s1)

@@ -1,0 +1,102 @@
+"""End-to-end lifecycle: train -> checkpoint -> resume -> eval -> infer ->
+export -> load servable (reference task_type dispatch, DeepFM.py:343-366)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tf_repos_tpu.config import Config
+from tf_repos_tpu.data.synthetic import write_synthetic_libsvm
+from tf_repos_tpu.serve.export import latest_version_dir, load_servable
+from tf_repos_tpu.train.harness import Harness, run_task
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    write_synthetic_libsvm(str(data_dir / "tr.part0.libsvm"), 200, feature_size=500, seed=0)
+    write_synthetic_libsvm(str(data_dir / "va.part0.libsvm"), 100, feature_size=500, seed=1)
+    write_synthetic_libsvm(str(data_dir / "te.part0.libsvm"), 50, feature_size=500, seed=2)
+    return tmp_path
+
+
+def make_cfg(workdir, **kw) -> Config:
+    base = dict(
+        model="DeepFM",
+        feature_size=500,
+        field_size=39,
+        embedding_size=4,
+        deep_layers="8,4",
+        dropout="1.0,1.0",
+        batch_size=32,
+        num_epochs=1,
+        log_steps=5,
+        learning_rate=0.01,
+        data_dir=str(workdir / "data"),
+        model_dir=str(workdir / "model"),
+        dt_dir="20260101",
+        servable_model_dir=str(workdir / "servable"),
+        eval_throttle_secs=0,
+        seed=7,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_full_lifecycle(workdir):
+    cfg = make_cfg(workdir)
+    metrics = run_task(cfg)
+    assert metrics["step"] == 200 // 32 + 1  # 6 full + 1 padded batch
+    assert "auc" in metrics and 0.0 <= metrics["auc"] <= 1.0
+    assert np.isfinite(metrics["loss"])
+
+    # model_dir is date-partitioned (DeepFM.py:286-288)
+    assert os.path.isdir(str(workdir / "model20260101"))
+
+    ev = run_task(cfg.replace(task_type="eval"))
+    assert abs(ev["auc"] - metrics["auc"]) < 1e-3
+
+    pred_path = run_task(cfg.replace(task_type="infer"))
+    preds = [float(x) for x in open(pred_path)]
+    assert len(preds) == 50  # padded rows are not written
+    assert all(0.0 <= p <= 1.0 for p in preds)
+
+    out_dir = run_task(cfg.replace(task_type="export"))
+    assert os.path.isfile(os.path.join(out_dir, "saved_model.json"))
+    sig = json.load(open(os.path.join(out_dir, "saved_model.json")))
+    assert sig["inputs"]["feat_ids"]["shape"] == [None, 39]
+
+    # servable round-trip scores identically to infer
+    model, params, mstate, _ = load_servable(latest_version_dir(cfg.servable_model_dir))
+    from tf_repos_tpu.train.loop import build_predict_step
+
+    h = Harness(cfg.replace(task_type="infer"))
+    step = build_predict_step(model)
+    from tf_repos_tpu.data.libsvm import LibsvmDataset
+
+    ds = LibsvmDataset(
+        [str(workdir / "data" / "te.part0.libsvm")], field_size=39, batch_size=32
+    )
+    got = []
+    for b in ds:
+        out = step(params, mstate, b)["prob"]
+        got.extend(np.asarray(out)[b["mask"] > 0].tolist())
+    np.testing.assert_allclose(got, preds, atol=1e-5)
+
+
+def test_resume_from_checkpoint(workdir):
+    cfg = make_cfg(workdir)
+    m1 = run_task(cfg)
+    # second run restores at step 7 and trains one more epoch
+    m2 = run_task(cfg)
+    assert m2["step"] == m1["step"] * 2
+
+
+def test_clear_existing_model(workdir):
+    cfg = make_cfg(workdir)
+    m1 = run_task(cfg)
+    m2 = run_task(cfg.replace(clear_existing_model=True))
+    assert m2["step"] == m1["step"]

@@ -1,0 +1,79 @@
+"""Optimizer parity vs hand-computed TF-semantics updates
+(reference switch: DeepFM.py:204-211)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_repos_tpu.train.optimizers import make_optimizer
+
+
+def run_steps(tx, grads_seq, w0):
+    w = {"w": jnp.asarray(w0)}
+    state = tx.init(w)
+    for g in grads_seq:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, w)
+        w = jax.tree.map(lambda p, u: p + u, w, updates)
+    return np.asarray(w["w"])
+
+
+def test_adagrad_matches_tf_formula():
+    lr, init_acc = 0.1, 1e-8
+    w0 = np.array([1.0, -2.0], np.float32)
+    gs = [np.array([0.5, 0.1], np.float32), np.array([-0.2, 0.3], np.float32)]
+    got = run_steps(make_optimizer("Adagrad", lr), gs, w0)
+    w, acc = w0.copy(), np.full_like(w0, init_acc)
+    for g in gs:
+        acc = acc + g * g
+        w = w - lr * g / np.sqrt(acc)
+    np.testing.assert_allclose(got, w, rtol=1e-5)
+
+
+def test_momentum_matches_tf_formula():
+    lr, mom = 0.1, 0.95
+    w0 = np.array([1.0, -2.0], np.float32)
+    gs = [np.array([0.5, 0.1], np.float32)] * 3
+    got = run_steps(make_optimizer("Momentum", lr), gs, w0)
+    w, v = w0.copy(), np.zeros_like(w0)
+    for g in gs:
+        v = mom * v + g
+        w = w - lr * v
+    np.testing.assert_allclose(got, w, rtol=1e-5)
+
+
+def test_ftrl_matches_tf_formula():
+    lr = 0.1
+    w0 = np.zeros(2, np.float32)
+    gs = [np.array([0.5, -0.3], np.float32), np.array([0.2, 0.4], np.float32)]
+    got = run_steps(make_optimizer("ftrl", lr), gs, w0)
+    # FTRL-Proximal with l1=l2=0, power=-0.5, init_acc=0.1
+    w, n, z = w0.copy(), np.full_like(w0, 0.1), np.zeros_like(w0)
+    for g in gs:
+        n_new = n + g * g
+        sigma = (np.sqrt(n_new) - np.sqrt(n)) / lr
+        z = z + g - sigma * w
+        n = n_new
+        w = -z / (np.sqrt(n) / lr)
+    np.testing.assert_allclose(got, w, rtol=1e-4, atol=1e-7)
+
+
+def test_adam_converges_on_quadratic():
+    tx = make_optimizer("Adam", 0.1)
+    w = {"w": jnp.array([5.0])}
+    state = tx.init(w)
+    for _ in range(200):
+        g = jax.tree.map(lambda p: 2 * p, w)
+        updates, state = tx.update(g, state, w)
+        w = jax.tree.map(lambda p, u: p + u, w, updates)
+    assert abs(float(w["w"][0])) < 1e-2
+
+
+def test_gd_is_plain_sgd():
+    got = run_steps(make_optimizer("GD", 0.5), [np.array([1.0], np.float32)], np.array([2.0], np.float32))
+    np.testing.assert_allclose(got, [1.5])
+
+
+def test_unknown_raises():
+    with pytest.raises(ValueError):
+        make_optimizer("bogus", 0.1)

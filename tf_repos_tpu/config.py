@@ -1,0 +1,139 @@
+"""Unified configuration for the framework.
+
+The reference declares ~25 ``tf.app.flags`` in every model file (canonical
+copy: /root/reference/deep_ctr/Model_pipeline/DeepFM.py:34-60). Here they
+are factored into one dataclass; every reference flag name is preserved so
+parity runs can reuse the reference's launch commands, plus TPU-native
+knobs (mesh shape, dtype, seed) that have no reference analog.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # ---- distribution (reference: DeepFM.py:35-40). ps/worker hosts are
+    # accepted for CLI compatibility but the TPU stack derives its topology
+    # from jax.distributed + the device mesh, not from host lists.
+    dist_mode: int = 0
+    ps_hosts: str = ""
+    worker_hosts: str = ""
+    job_name: str = ""
+    task_index: int = 0
+    num_threads: int = 16
+
+    # ---- model shape (reference: DeepFM.py:41-44,52-55)
+    feature_size: int = 0
+    field_size: int = 0
+    embedding_size: int = 32
+    deep_layers: str = "256,128,64"
+    dropout: str = "0.5,0.5,0.5"
+    batch_norm: bool = False
+    batch_norm_decay: float = 0.9
+
+    # ---- optimization (reference: DeepFM.py:45-51)
+    num_epochs: int = 10
+    batch_size: int = 64
+    log_steps: int = 1000
+    learning_rate: float = 0.0005
+    l2_reg: float = 0.0001
+    loss_type: str = "log_loss"  # {square_loss, log_loss}
+    optimizer: str = "Adam"  # {Adam, Adagrad, GD, Momentum, ftrl}
+
+    # ---- IO / lifecycle (reference: DeepFM.py:56-60)
+    data_dir: str = ""
+    dt_dir: str = ""
+    model_dir: str = ""
+    servable_model_dir: str = ""
+    task_type: str = "train"  # {train, eval, infer, export}
+    clear_existing_model: bool = False
+
+    # ---- model-specific flags from other reference files
+    model_type: str = ""  # PNN.py:61 {FNN, Inner, Outer}; wide_n_deep.py:46 {wide, deep, wide_n_deep}
+    cross_layers: int = 3  # DCN.py:52
+    attention_layers: str = "256"  # AFM.py:52, DIN.py:46
+    attention_pooling: bool = True  # DIN.py:45
+    ctr_task_wgt: float = 0.5  # DeepCvrMTL.py:49
+
+    # ---- model selection. The reference has one script per algorithm
+    # (DeepFM.py, PNN.py, ...); here one CLI selects from the registry.
+    model: str = "DeepFM"
+
+    # ---- TPU-native knobs (no reference analog)
+    seed: int = 2018
+    mesh_data: int = -1  # -1: use all devices on the data axis
+    mesh_model: int = 1  # >1 row-shards embedding tables over the model axis
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # bfloat16 for the dense towers on TPU
+    shuffle_buffer: int = 256  # reference input_fn shuffle window (DeepFM.py:88)
+    prefetch_batches: int = 8
+    eval_throttle_secs: int = 1200  # EvalSpec throttle (DeepFM.py:345)
+    save_checkpoints_steps: int = 0  # 0: only save per epoch; wide_n_deep.py:129 sets it to log_steps
+    keep_checkpoint_max: int = 5
+    # padded length for multi-hot (ragged) fields; the reference carries these
+    # as VarLen sparse tensors (DIN.py:65-76) — on TPU they become fixed-shape
+    # padded arrays with id==0 masking (DIN.py:157 mask convention).
+    multi_hot_pad: int = 64
+
+    # -------------------------------------------------------------- helpers
+    @property
+    def deep_layers_list(self) -> List[int]:
+        return [int(x) for x in self.deep_layers.split(",") if x]
+
+    @property
+    def dropout_list(self) -> List[float]:
+        return [float(x) for x in self.dropout.split(",") if x]
+
+    @property
+    def attention_layers_list(self) -> List[int]:
+        return [int(x) for x in self.attention_layers.split(",") if x]
+
+    def resolve_dt_dir(self) -> str:
+        """Yesterday's date unless set — the reference's daily-partition
+        warm-start convention (DeepFM.py:286-288)."""
+        if self.dt_dir:
+            return self.dt_dir
+        return (datetime.date.today() - datetime.timedelta(days=1)).strftime("%Y%m%d")
+
+    def resolved_model_dir(self) -> str:
+        return self.model_dir + self.resolve_dt_dir() if self.model_dir else self.model_dir
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def add_config_args(parser: argparse.ArgumentParser) -> None:
+    """Register every Config field as a --flag (reference flag names)."""
+    for f in dataclasses.fields(Config):
+        if f.type == "bool" or f.type is bool:
+            parser.add_argument(
+                f"--{f.name}", type=_str2bool, default=f.default, help=f"(default: {f.default})"
+            )
+        else:
+            parser.add_argument(
+                f"--{f.name}", type=type(f.default), default=f.default, help=f"(default: {f.default})"
+            )
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("true", "1", "yes", "y", "t")
+
+
+def parse_config(argv: Optional[List[str]] = None) -> Config:
+    parser = argparse.ArgumentParser(description="tf_repos_tpu")
+    add_config_args(parser)
+    args, _ = parser.parse_known_args(argv)
+    return Config(**{f.name: getattr(args, f.name) for f in dataclasses.fields(Config)})
+
+
+def echo_config(cfg: Config, log=print) -> None:
+    """Hyperparameter echo at startup (reference: DeepFM.py:291-307)."""
+    for f in dataclasses.fields(Config):
+        log(f"{f.name} = {getattr(cfg, f.name)}")

@@ -1,0 +1,197 @@
+"""libsvm text input pipeline -> fixed-shape numpy batches.
+
+Behavioral contract from the reference input_fn
+(/root/reference/deep_ctr/Model_pipeline/DeepFM.py:63-98): each line is
+``label id:val id:val ...`` with a fixed number of fields per sample
+(39 for Criteo); decoding produces ``{feat_ids:int32[B,F],
+feat_vals:float32[B,F]}`` and ``label:float32[B]``. The reference pipeline
+is TextLineDataset -> parallel map -> prefetch -> shuffle(256) ->
+repeat(epochs) -> batch. Here the parse is vectorized NumPy (with an
+optional native C++ fast path, see tf_repos_tpu/data/native.py), the
+shuffle is a window shuffle of the same size, and batches are fixed-shape
+(TPU/XLA requires static shapes, so the final partial batch is padded and
+carries an explicit ``mask``).
+"""
+
+from __future__ import annotations
+
+import glob
+import random
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Batch = Dict[str, np.ndarray]
+
+
+def parse_libsvm_lines(
+    lines: Sequence[bytes], field_size: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse a list of libsvm lines (bytes) into (ids, vals, labels).
+
+    Fast path: when every line has exactly ``1 + 2*field_size`` tokens
+    (the Criteo contract), the whole chunk is parsed with one
+    ``np.fromstring``-style C loop. Ragged lines fall back to a per-line
+    parse with zero-padding / truncation to ``field_size``.
+    """
+    n = len(lines)
+    if n == 0:
+        z = np.zeros((0, field_size))
+        return z.astype(np.int32), z.astype(np.float32), np.zeros((0,), np.float32)
+
+    blob = b" ".join(line.strip() for line in lines)
+    toks = blob.replace(b":", b" ").split()
+    want = n * (1 + 2 * field_size)
+    arr = None
+    if len(toks) == want:
+        try:
+            arr = np.array(toks, dtype=np.float64)
+        except ValueError:  # pragma: no cover - malformed token
+            arr = None
+    if arr is not None:
+        arr = arr.reshape(n, 1 + 2 * field_size)
+        labels = arr[:, 0].astype(np.float32)
+        ids = arr[:, 1::2].astype(np.int32)
+        vals = arr[:, 2::2].astype(np.float32)
+        return ids, vals, labels
+    return _parse_ragged(lines, field_size)
+
+
+def _parse_ragged(
+    lines: Sequence[bytes], field_size: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    n = len(lines)
+    ids = np.zeros((n, field_size), np.int32)
+    vals = np.zeros((n, field_size), np.float32)
+    labels = np.zeros((n,), np.float32)
+    for r, line in enumerate(lines):
+        toks = line.split()
+        if not toks:
+            continue
+        labels[r] = float(toks[0])
+        k = min(len(toks) - 1, field_size)
+        for c in range(k):
+            fid, _, fval = toks[1 + c].partition(b":")
+            ids[r, c] = int(fid)
+            vals[r, c] = float(fval) if fval else 1.0
+    return ids, vals, labels
+
+
+def parse_libsvm_bytes(
+    data: bytes, field_size: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse a whole text blob (e.g. one file) at once."""
+    lines = [ln for ln in data.split(b"\n") if ln.strip()]
+    return parse_libsvm_lines(lines, field_size)
+
+
+class LibsvmDataset:
+    """Streaming libsvm reader with the reference pipeline's semantics.
+
+    Iterates ``num_epochs`` passes over ``filenames`` yielding fixed-shape
+    batches. ``perform_shuffle`` applies a window shuffle of
+    ``shuffle_buffer`` samples (reference: shuffle(buffer_size=256),
+    DeepFM.py:88) after shuffling the file list itself (the reference
+    shuffles the glob result in main(), DeepFM.py:312-316).
+    """
+
+    def __init__(
+        self,
+        filenames: Sequence[str],
+        field_size: int,
+        batch_size: int = 32,
+        num_epochs: int = 1,
+        perform_shuffle: bool = False,
+        shuffle_buffer: int = 256,
+        drop_remainder: bool = False,
+        read_chunk_bytes: int = 8 << 20,
+        seed: Optional[int] = None,
+        use_native: bool = True,
+    ):
+        if isinstance(filenames, (str, bytes)):
+            filenames = [filenames]
+        self.filenames = list(filenames)
+        self.field_size = field_size
+        self.batch_size = batch_size
+        self.num_epochs = num_epochs
+        self.perform_shuffle = perform_shuffle
+        self.shuffle_buffer = max(shuffle_buffer, batch_size)
+        self.drop_remainder = drop_remainder
+        self.read_chunk_bytes = read_chunk_bytes
+        self.rng = random.Random(seed)
+        self._parse = parse_libsvm_lines
+        if use_native:
+            try:  # optional C++ fast path
+                from tf_repos_tpu.data import native
+
+                if native.available():
+                    self._parse = lambda lines, f: native.parse_libsvm_lines(lines, f)
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------------
+    def _iter_lines(self) -> Iterator[bytes]:
+        for _ in range(self.num_epochs):
+            files = list(self.filenames)
+            if self.perform_shuffle:
+                self.rng.shuffle(files)
+            for path in files:
+                with open(path, "rb") as f:
+                    tail = b""
+                    while True:
+                        chunk = f.read(self.read_chunk_bytes)
+                        if not chunk:
+                            if tail.strip():
+                                yield tail
+                            break
+                        chunk = tail + chunk
+                        lines = chunk.split(b"\n")
+                        tail = lines.pop()
+                        for ln in lines:
+                            if ln.strip():
+                                yield ln
+
+    def _iter_shuffled_lines(self) -> Iterator[bytes]:
+        if not self.perform_shuffle:
+            yield from self._iter_lines()
+            return
+        buf: List[bytes] = []
+        for ln in self._iter_lines():
+            buf.append(ln)
+            if len(buf) >= self.shuffle_buffer:
+                i = self.rng.randrange(len(buf))
+                buf[i], buf[-1] = buf[-1], buf[i]
+                yield buf.pop()
+        self.rng.shuffle(buf)
+        yield from buf
+
+    def __iter__(self) -> Iterator[Batch]:
+        pending: List[bytes] = []
+        for ln in self._iter_shuffled_lines():
+            pending.append(ln)
+            if len(pending) == self.batch_size:
+                yield self._make_batch(pending, full=True)
+                pending = []
+        if pending and not self.drop_remainder:
+            yield self._make_batch(pending, full=False)
+
+    def _make_batch(self, lines: List[bytes], full: bool) -> Batch:
+        ids, vals, labels = self._parse(lines, self.field_size)
+        n = len(lines)
+        mask = np.ones((n,), np.float32)
+        if not full:  # pad to static batch_size for XLA
+            pad = self.batch_size - n
+            ids = np.pad(ids, ((0, pad), (0, 0)))
+            vals = np.pad(vals, ((0, pad), (0, 0)))
+            labels = np.pad(labels, (0, pad))
+            mask = np.pad(mask, (0, pad))
+        return {"feat_ids": ids, "feat_vals": vals, "label": labels, "mask": mask}
+
+
+def glob_input_files(data_dir: str, pattern: str, shuffle: bool = False, seed: int = 0) -> List[str]:
+    """Reference main() globs tr*/va*/te* files and shuffles the training
+    list (DeepFM.py:310-316)."""
+    files = sorted(glob.glob(f"{data_dir.rstrip('/')}/{pattern}"))
+    if shuffle:
+        random.Random(seed).shuffle(files)
+    return files

@@ -1,0 +1,146 @@
+"""Ali-CCP ragged-record reader -> fixed-shape padded batches (DIN/ESMM).
+
+The reference converts joined/remapped sample lines
+(``sample_id,y,z,field:fid:val field:fid:val ...``) into TFRecords with
+VarLen sparse features (get_aliccp_tfrecord.py:33-102) and parses them in
+input_fn (DIN.py:57-99, DeepCvrMTL.py:63-105). TPU/XLA needs static
+shapes, so this reader consumes the SAME sample-line format directly and
+emits padded fixed-shape arrays: multi-hot fields are padded/truncated to
+``multi_hot_pad`` with padding id 0 (mask convention id>0, DIN.py:157).
+
+Field schema (get_aliccp_tfrecord.py:33-35):
+  Common:   11 single-valued fields -> feat_ids int32[B,11]
+            (default id = field's 1-based position when absent)
+  User MH:  109_14->u_cat, 110_14->u_shop, 127_14->u_brand, 150_14->u_int
+            ids+vals, defaults (12..15, val 1.0)
+  Ad:       206->a_cat, 207->a_shop, 216->a_brand (scalar; defaults
+            16,17,19), 210->a_int (multi-hot; default 18)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+Batch = Dict[str, np.ndarray]
+
+COMMON_FIELDS = {
+    "101": 1, "121": 2, "122": 3, "124": 4, "125": 5, "126": 6,
+    "127": 7, "128": 8, "129": 9, "205": 10, "301": 11,
+}
+UMH_FIELDS = {"109_14": ("u_cat", 12), "110_14": ("u_shop", 13),
+              "127_14": ("u_brand", 14), "150_14": ("u_int", 15)}
+AD_SCALAR_FIELDS = {"206": ("a_cat", 16), "207": ("a_shop", 17), "216": ("a_brand", 19)}
+AD_MH_FIELD = ("210", "a_int", 18)
+
+NUM_COMMON = len(COMMON_FIELDS)
+
+
+def parse_aliccp_lines(lines: Sequence[bytes], multi_hot_pad: int = 64) -> Batch:
+    n = len(lines)
+    p = multi_hot_pad
+    out: Batch = {
+        "y": np.zeros((n,), np.float32),
+        "z": np.zeros((n,), np.float32),
+        "feat_ids": np.zeros((n, NUM_COMMON), np.int32),
+        "a_catids": np.full((n,), 16, np.int32),
+        "a_shopids": np.full((n,), 17, np.int32),
+        "a_brandids": np.full((n,), 19, np.int32),
+        "a_intids": np.zeros((n, p), np.int32),
+        "mask": np.ones((n,), np.float32),
+    }
+    for _, (fname, _) in UMH_FIELDS.items():
+        out[f"{fname}ids"] = np.zeros((n, p), np.int32)
+        out[f"{fname}vals"] = np.zeros((n, p), np.float32)
+
+    for r, line in enumerate(lines):
+        parts = line.strip().split(b",")
+        if len(parts) != 4:
+            out["mask"][r] = 0.0
+            continue
+        out["y"][r] = float(parts[1])
+        out["z"][r] = float(parts[2])
+        # default common ids when a field is absent
+        out["feat_ids"][r] = np.arange(1, NUM_COMMON + 1)
+        mh_count = {fname: 0 for _, (fname, _) in UMH_FIELDS.items()}
+        mh_defaults_pending = {fn: dv for _, (fn, dv) in UMH_FIELDS.items()}
+        a_int_count = 0
+        for tok in parts[3].split():
+            fv = tok.split(b":")
+            if len(fv) != 3:
+                continue
+            field = fv[0].decode()
+            fid = int(fv[1])
+            if field in COMMON_FIELDS:
+                out["feat_ids"][r, COMMON_FIELDS[field] - 1] = fid
+            elif field in UMH_FIELDS:
+                fname, _ = UMH_FIELDS[field]
+                mh_defaults_pending.pop(fname, None)
+                c = mh_count[fname]
+                if c < p:
+                    out[f"{fname}ids"][r, c] = fid
+                    out[f"{fname}vals"][r, c] = float(fv[2])
+                    mh_count[fname] = c + 1
+            elif field in AD_SCALAR_FIELDS:
+                fname, _ = AD_SCALAR_FIELDS[field]
+                out[f"{fname}ids"][r] = fid
+            elif field == AD_MH_FIELD[0]:
+                if a_int_count < p:
+                    out["a_intids"][r, a_int_count] = fid
+                    a_int_count += 1
+        for fname, def_id in mh_defaults_pending.items():
+            out[f"{fname}ids"][r, 0] = def_id
+            out[f"{fname}vals"][r, 0] = 1.0
+        if a_int_count == 0:
+            out["a_intids"][r, 0] = AD_MH_FIELD[2]
+    out["label"] = out["y"]
+    return out
+
+
+class AliccpDataset:
+    """Streaming reader over sample-line files with the shared window-
+    shuffle / epoch / static-batch semantics."""
+
+    def __init__(
+        self,
+        filenames: Sequence[str],
+        batch_size: int = 32,
+        num_epochs: int = 1,
+        perform_shuffle: bool = False,
+        shuffle_buffer: int = 256,
+        multi_hot_pad: int = 64,
+        drop_remainder: bool = False,
+        seed: Optional[int] = None,
+    ):
+        from tf_repos_tpu.data.libsvm import LibsvmDataset
+
+        self._inner = LibsvmDataset(
+            filenames,
+            field_size=1,
+            batch_size=batch_size,
+            num_epochs=num_epochs,
+            perform_shuffle=perform_shuffle,
+            shuffle_buffer=shuffle_buffer,
+            drop_remainder=drop_remainder,
+            seed=seed,
+            use_native=False,
+        )
+        self.batch_size = batch_size
+        self.multi_hot_pad = multi_hot_pad
+        self.drop_remainder = drop_remainder
+
+    def __iter__(self) -> Iterator[Batch]:
+        pending: List[bytes] = []
+        for ln in self._inner._iter_shuffled_lines():
+            pending.append(ln)
+            if len(pending) == self.batch_size:
+                yield parse_aliccp_lines(pending, self.multi_hot_pad)
+                pending = []
+        if pending and not self.drop_remainder:
+            batch = parse_aliccp_lines(pending, self.multi_hot_pad)
+            pad = self.batch_size - len(pending)
+            yield {
+                k: np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+                for k, v in batch.items()
+            }

@@ -1,0 +1,113 @@
+"""Model protocol: every algorithm is a pure ``f(x)``.
+
+The reference packages each algorithm as an Estimator model_fn returning
+an EstimatorSpec (SURVEY.md §1 L3). Here a model is a small config-bound
+object with pure functions:
+
+  init(rng)                      -> (params, state)       pytrees
+  apply(params, state, batch,
+        train, rng, lookup)      -> (outputs, new_state)  outputs["prob"], ["logits"]
+  loss(params, state, batch,
+       train, rng, lookup)       -> (scalar, (outputs, new_state))
+  param_spec()                   -> PartitionSpec pytree matching params
+                                    (embedding tables row-sharded on "model")
+
+``lookup`` is the embedding-lookup function (dense gather on one chip,
+masked-gather+psum inside shard_map on a mesh — ops/embedding.py), so the
+same model math runs unsharded and sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tf_repos_tpu.config import Config
+from tf_repos_tpu.ops import metrics as M
+from tf_repos_tpu.ops.embedding import dense_lookup
+
+Params = Any
+State = Any
+Batch = Dict[str, jax.Array]
+Outputs = Dict[str, jax.Array]
+
+MODEL_AXIS_SPEC = P("model", None)  # row-sharded [V,K] table
+MODEL_AXIS_SPEC_1D = P("model")  # row-sharded [V] table
+REPLICATED = P()
+
+
+class CtrModel:
+    """Base for single-task CTR models (sigmoid over one logit)."""
+
+    name: str = "base"
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+
+    # -------- to implement
+    def init(self, rng: jax.Array) -> Tuple[Params, State]:
+        raise NotImplementedError
+
+    def apply(
+        self,
+        params: Params,
+        state: State,
+        batch: Batch,
+        *,
+        train: bool,
+        rng: Optional[jax.Array] = None,
+        lookup=dense_lookup,
+    ) -> Tuple[Outputs, State]:
+        raise NotImplementedError
+
+    def l2_loss(self, params: Params) -> jax.Array:
+        """Explicit L2 terms the reference adds to the loss (embedding
+        tables only — see ops/towers.mlp_l2 parity note)."""
+        return jnp.float32(0.0)
+
+    def param_spec(self) -> Any:
+        """PartitionSpec pytree matching init()'s params. Default:
+        everything replicated; models with big tables override."""
+        params, _ = jax.eval_shape(lambda: self.init(jax.random.PRNGKey(0)))
+        return jax.tree.map(lambda _: REPLICATED, params)
+
+    # -------- provided
+    def loss(
+        self,
+        params: Params,
+        state: State,
+        batch: Batch,
+        *,
+        train: bool,
+        rng: Optional[jax.Array] = None,
+        lookup=dense_lookup,
+    ) -> Tuple[jax.Array, Tuple[Outputs, State]]:
+        """Masked mean loss + explicit L2 (DeepFM.py:188-190 semantics)."""
+        out, new_state = self.apply(
+            params, state, batch, train=train, rng=rng, lookup=lookup
+        )
+        logits = out["logits"]
+        label = batch["label"]
+        if self.cfg.loss_type == "square_loss":
+            per = M.squared_loss(logits, label)
+        else:
+            per = M.sigmoid_xent(logits, label)
+        mask = batch.get("mask")
+        if mask is None:
+            data_loss = jnp.mean(per)
+        else:
+            data_loss = jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        return data_loss + self.l2_loss(params), (out, new_state)
+
+    def eval_metrics(self, out: Outputs, batch: Batch) -> Dict[str, Tuple[jax.Array, jax.Array]]:
+        """(labels, preds) pairs to feed streaming AUC; one per metric
+        (reference: {"auc": tf.metrics.auc(labels, pred)}, DeepFM.py:193)."""
+        return {"auc": (batch["label"], out["prob"])}
+
+    @property
+    def prediction_keys(self):
+        """Keys written by infer (reference predict_keys='prob')."""
+        return ["prob"]

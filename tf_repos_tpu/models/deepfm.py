@@ -1,0 +1,99 @@
+"""DeepFM: FM bias + first-order + second-order (sum-square trick) + deep
+MLP over concatenated embeddings.
+
+Behavioral spec from /root/reference/deep_ctr/Model_pipeline/DeepFM.py:
+weights FM_B/FM_W/FM_V (:114-116), first order (:125-127), pairwise via
+sum-square trick (:129-135), MLP over [B, F*K] with ReLU -> (BN) ->
+dropout per layer (:151-167), logit = FM_B + y_w + y_v + y_d (:172-176),
+loss adds l2_reg * l2_loss(FM_W) + l2_reg * l2_loss(FM_V) (:188-190).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tf_repos_tpu.models.base import (
+    MODEL_AXIS_SPEC,
+    MODEL_AXIS_SPEC_1D,
+    REPLICATED,
+    Batch,
+    CtrModel,
+    Outputs,
+    Params,
+    State,
+)
+from tf_repos_tpu.ops import interactions as I
+from tf_repos_tpu.ops import towers as T
+from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init
+
+
+class DeepFM(CtrModel):
+    name = "DeepFM"
+
+    def init(self, rng: jax.Array) -> Tuple[Params, State]:
+        cfg = self.cfg
+        k_w, k_v, k_mlp, k_out = jax.random.split(rng, 4)
+        layers = cfg.deep_layers_list
+        mlp_params, mlp_state = T.init_mlp(
+            k_mlp,
+            cfg.field_size * cfg.embedding_size,
+            layers,
+            batch_norm=cfg.batch_norm,
+        )
+        params = {
+            "fm_b": jnp.zeros((1,), jnp.float32),
+            "fm_w": glorot_normal_init(k_w, (cfg.feature_size,)),
+            "fm_v": glorot_normal_init(k_v, (cfg.feature_size, cfg.embedding_size)),
+            "mlp": mlp_params,
+            "out": T.init_dense(k_out, layers[-1], 1),
+        }
+        return params, {"mlp": mlp_state}
+
+    def apply(
+        self,
+        params: Params,
+        state: State,
+        batch: Batch,
+        *,
+        train: bool,
+        rng: Optional[jax.Array] = None,
+        lookup=dense_lookup,
+    ) -> Tuple[Outputs, State]:
+        cfg = self.cfg
+        ids = batch["feat_ids"].reshape(-1, cfg.field_size)
+        vals = batch["feat_vals"].reshape(-1, cfg.field_size)
+
+        y_w = jnp.sum(lookup(params["fm_w"], ids) * vals, axis=1)
+        emb = lookup(params["fm_v"], ids) * vals[..., None]  # [B,F,K]
+        y_v = I.fm_second_order(emb)
+
+        deep_in = emb.reshape(emb.shape[0], -1)
+        h, mlp_state = T.apply_mlp(
+            params["mlp"],
+            state["mlp"],
+            deep_in,
+            keep_probs=cfg.dropout_list,
+            train=train,
+            rng=rng,
+            batch_norm=cfg.batch_norm,
+            bn_decay=cfg.batch_norm_decay,
+        )
+        y_d = T.dense(params["out"], h)[:, 0]
+
+        logits = params["fm_b"][0] + y_w + y_v + y_d
+        return {"logits": logits, "prob": jax.nn.sigmoid(logits)}, {"mlp": mlp_state}
+
+    def l2_loss(self, params: Params) -> jax.Array:
+        l2 = self.cfg.l2_reg
+        return l2 * 0.5 * jnp.sum(jnp.square(params["fm_w"])) + l2 * 0.5 * jnp.sum(
+            jnp.square(params["fm_v"])
+        )
+
+    def param_spec(self):
+        spec = super().param_spec()
+        spec["fm_w"] = MODEL_AXIS_SPEC_1D
+        spec["fm_v"] = MODEL_AXIS_SPEC
+        return spec

@@ -1,0 +1,183 @@
+"""DIN — Deep Interest Network over Ali-CCP-style records.
+
+Behavioral spec from /root/reference/deep_ctr/Model_pipeline/DIN.py:
+TFRecord input with VarLen multi-hot user-behavior fields (:57-99) — on
+TPU these are fixed-shape padded arrays with the id==0 padding-mask
+convention (:157). One shared embedding table (:117); ad-side embeddings
+incl. a sum-combined multi-hot interest field (:143-148); attention_unit
+per behavior field: MLP over [u_emb, u_emb - a_emb, a_emb] -> sigmoid
+weight -> masked weighted sum-pool (:152-173), toggleable vs plain
+sum-pool via --attention_pooling (:45, else-branch :179-183); concat all
+-> MLP -> logit (:185-214); L2 on Feat_Emb only (:226).
+
+Reference quirk reproduced intentionally: the attention MLP loops over
+len(attention_layers) but draws its widths from deep_layers
+(DIN.py:161 uses layers[i]) — with defaults that is one 256-wide layer.
+
+Batch contract (data/ragged.py): feat_ids:int32[B,Fc];
+{u_cat,u_shop,u_int,u_brand}_{ids,vals}: [B,P] padded; a_catids/
+a_shopids/a_brandids: int32[B]; a_intids: int32[B,P]; label:f32[B].
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tf_repos_tpu.models.base import (
+    MODEL_AXIS_SPEC,
+    Batch,
+    CtrModel,
+    Outputs,
+    Params,
+    State,
+)
+from tf_repos_tpu.ops import towers as T
+from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init
+
+USER_FIELDS = ("u_cat", "u_shop", "u_brand", "u_int")
+
+
+class DIN(CtrModel):
+    name = "DIN"
+
+    def _att_widths(self):
+        """DIN.py:160-161: range over attention_layers, widths from
+        deep_layers."""
+        cfg = self.cfg
+        return [cfg.deep_layers_list[i] for i in range(len(cfg.attention_layers_list))]
+
+    def init(self, rng: jax.Array) -> Tuple[Params, State]:
+        cfg = self.cfg
+        k = cfg.embedding_size
+        keys = jax.random.split(rng, 4)
+        layers = cfg.deep_layers_list
+        common_dims = cfg.field_size * k
+        # concat: common + 4 user-pooled + a_cat + a_shop + a_brand + a_int
+        mlp_in = common_dims + 8 * k
+        params: Params = {
+            "emb": glorot_normal_init(keys[0], (cfg.feature_size, k)),
+        }
+        state: State = {}
+        if cfg.attention_pooling:
+            att_params, att_state = T.init_mlp(keys[1], 3 * k, self._att_widths())
+            params["att_mlp"] = att_params
+            params["att_out"] = T.init_dense(keys[2], self._att_widths()[-1], 1)
+            state["att_mlp"] = att_state
+        params["mlp"], state["mlp"] = T.init_mlp(
+            keys[3], mlp_in, layers, batch_norm=cfg.batch_norm
+        )
+        params["out"] = T.init_dense(jax.random.fold_in(rng, 7), layers[-1], 1)
+        return params, state
+
+    def _attention_unit(
+        self,
+        params: Params,
+        state: State,
+        dense_emb: jax.Array,  # [B,P,K] already weighted by vals
+        mask: jax.Array,  # [B,P]
+        a_emb: jax.Array,  # [B,K]
+        *,
+        train: bool,
+        rng: Optional[jax.Array],
+    ) -> Tuple[jax.Array, State]:
+        b, p, k = dense_emb.shape
+        ub = dense_emb.reshape(b * p, k)
+        ax = jnp.broadcast_to(a_emb[:, None, :], (b, p, k)).reshape(b * p, k)
+        x = jnp.concatenate([ub, ub - ax, ax], axis=1)  # [(B*P), 3K]
+        h, att_state = T.apply_mlp(
+            params["att_mlp"],
+            state["att_mlp"],
+            x,
+            keep_probs=self.cfg.dropout_list,
+            train=train,
+            rng=rng,
+            batch_norm=self.cfg.batch_norm,
+            bn_decay=self.cfg.batch_norm_decay,
+        )
+        att_wgt = jax.nn.sigmoid(T.dense(params["att_out"], h)).reshape(b, p, 1)
+        pooled = jnp.sum(dense_emb * att_wgt * mask[..., None], axis=1)  # [B,K]
+        return pooled, att_state
+
+    def apply(
+        self,
+        params: Params,
+        state: State,
+        batch: Batch,
+        *,
+        train: bool,
+        rng: Optional[jax.Array] = None,
+        lookup=dense_lookup,
+    ) -> Tuple[Outputs, State]:
+        cfg = self.cfg
+        emb_t = params["emb"]
+        common = lookup(emb_t, batch["feat_ids"])  # [B,Fc,K]
+        a_cat = lookup(emb_t, batch["a_catids"])  # [B,K]
+        a_shop = lookup(emb_t, batch["a_shopids"])
+        a_brand = lookup(emb_t, batch["a_brandids"])
+        int_mask = (batch["a_intids"] > 0).astype(common.dtype)
+        a_int = jnp.einsum(
+            "bpk,bp->bk", lookup(emb_t, batch["a_intids"]), int_mask
+        )  # sum combiner (DIN.py:148)
+
+        ad_emb = {"u_cat": a_cat, "u_shop": a_shop, "u_brand": a_brand, "u_int": a_int}
+
+        new_state: State = {}
+        pooled = []
+        keys = {}
+        if train and rng is not None:
+            ks = jax.random.split(rng, len(USER_FIELDS) + 1)
+            keys = {f: ks[i] for i, f in enumerate(USER_FIELDS)}
+            mlp_rng = ks[-1]
+        else:
+            keys = {f: None for f in USER_FIELDS}
+            mlp_rng = None
+
+        att_state = state.get("att_mlp")
+        for f in USER_FIELDS:
+            ids = batch[f"{f}ids"]
+            vals = batch[f"{f}vals"]
+            mask = (ids > 0).astype(common.dtype)
+            demb = lookup(emb_t, ids) * vals[..., None]  # [B,P,K]
+            if cfg.attention_pooling:
+                pool, att_state = self._attention_unit(
+                    params,
+                    {"att_mlp": att_state},
+                    demb,
+                    mask,
+                    ad_emb[f],
+                    train=train,
+                    rng=keys[f],
+                )
+            else:  # plain weighted sum-pool (DIN.py:179-183)
+                pool = jnp.einsum("bpk,bp->bk", demb, mask)
+            pooled.append(pool)
+        if cfg.attention_pooling:
+            new_state["att_mlp"] = att_state
+
+        x = jnp.concatenate(
+            [common.reshape(common.shape[0], -1), *pooled, a_cat, a_shop, a_brand, a_int],
+            axis=1,
+        )
+        h, new_state["mlp"] = T.apply_mlp(
+            params["mlp"],
+            state["mlp"],
+            x,
+            keep_probs=cfg.dropout_list,
+            train=train,
+            rng=mlp_rng,
+            batch_norm=cfg.batch_norm,
+            bn_decay=cfg.batch_norm_decay,
+        )
+        logits = T.dense(params["out"], h)[:, 0]
+        return {"logits": logits, "prob": jax.nn.sigmoid(logits)}, new_state
+
+    def l2_loss(self, params: Params) -> jax.Array:
+        return self.cfg.l2_reg * 0.5 * jnp.sum(jnp.square(params["emb"]))
+
+    def param_spec(self):
+        spec = super().param_spec()
+        spec["emb"] = MODEL_AXIS_SPEC
+        return spec

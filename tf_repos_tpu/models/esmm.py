@@ -1,0 +1,153 @@
+"""ESMM (DeepCvrMTL) — joint CTR + CVR on the full impression space.
+
+Behavioral spec from /root/reference/DeepMTL/Model_pipeline/DeepCvrMTL.py:
+two labels y (click), z (conversion) (:146-148); ONE shared embedding
+table over common + multi-hot + ad fields (:152-164; common embeddings
+are NOT value-scaled — :154 commented out); two parallel MLP towers CVR
+(:166-183) and CTR (:185-203); pCTCVR = pCTR * pCVR (:205-210); loss =
+ctr_task_wgt * sigmoid_CE(y_ctr; y) + (1-wgt) * log_loss(pctcvr; z) +
+l2_reg * l2_loss(Feat_Emb) (:219-223); metrics CTR_AUC(y,pctr),
+CVR_AUC(z,pcvr), CTCVR_AUC(z,pctcvr) (:229-233).
+
+Batch contract is the same ragged/padded Ali-CCP layout as DIN plus both
+labels: {"y": f32[B], "z": f32[B]}.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tf_repos_tpu.models.base import (
+    MODEL_AXIS_SPEC,
+    Batch,
+    CtrModel,
+    Outputs,
+    Params,
+    State,
+)
+from tf_repos_tpu.ops import metrics as M
+from tf_repos_tpu.ops import towers as T
+from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init
+
+USER_FIELDS = ("u_cat", "u_shop", "u_brand", "u_int")
+
+
+class ESMM(CtrModel):
+    name = "ESMM"
+
+    def init(self, rng: jax.Array) -> Tuple[Params, State]:
+        cfg = self.cfg
+        k = cfg.embedding_size
+        keys = jax.random.split(rng, 5)
+        layers = cfg.deep_layers_list
+        mlp_in = cfg.field_size * k + 8 * k
+        cvr_mlp, cvr_state = T.init_mlp(keys[1], mlp_in, layers, batch_norm=cfg.batch_norm)
+        ctr_mlp, ctr_state = T.init_mlp(keys[2], mlp_in, layers, batch_norm=cfg.batch_norm)
+        params = {
+            "emb": glorot_normal_init(keys[0], (cfg.feature_size, k)),
+            "cvr_mlp": cvr_mlp,
+            "cvr_out": T.init_dense(keys[3], layers[-1], 1),
+            "ctr_mlp": ctr_mlp,
+            "ctr_out": T.init_dense(keys[4], layers[-1], 1),
+        }
+        return params, {"cvr_mlp": cvr_state, "ctr_mlp": ctr_state}
+
+    def apply(
+        self,
+        params: Params,
+        state: State,
+        batch: Batch,
+        *,
+        train: bool,
+        rng: Optional[jax.Array] = None,
+        lookup=dense_lookup,
+    ) -> Tuple[Outputs, State]:
+        cfg = self.cfg
+        emb_t = params["emb"]
+        common = lookup(emb_t, batch["feat_ids"])  # [B,Fc,K] — unscaled (:154)
+
+        pooled = []
+        for f in USER_FIELDS:
+            ids = batch[f"{f}ids"]
+            vals = batch[f"{f}vals"]
+            mask = (ids > 0).astype(common.dtype)
+            demb = lookup(emb_t, ids)
+            pooled.append(jnp.einsum("bpk,bp->bk", demb, mask * vals))  # sum combiner
+
+        a_cat = lookup(emb_t, batch["a_catids"])
+        a_shop = lookup(emb_t, batch["a_shopids"])
+        a_brand = lookup(emb_t, batch["a_brandids"])
+        int_mask = (batch["a_intids"] > 0).astype(common.dtype)
+        a_int = jnp.einsum("bpk,bp->bk", lookup(emb_t, batch["a_intids"]), int_mask)
+
+        x = jnp.concatenate(
+            [common.reshape(common.shape[0], -1), *pooled, a_cat, a_shop, a_brand, a_int],
+            axis=1,
+        )
+
+        k_cvr = k_ctr = None
+        if train and rng is not None:
+            k_cvr, k_ctr = jax.random.split(rng)
+        new_state: State = {}
+        x_cvr, new_state["cvr_mlp"] = T.apply_mlp(
+            params["cvr_mlp"], state["cvr_mlp"], x,
+            keep_probs=cfg.dropout_list, train=train, rng=k_cvr,
+            batch_norm=cfg.batch_norm, bn_decay=cfg.batch_norm_decay,
+        )
+        y_cvr = T.dense(params["cvr_out"], x_cvr)[:, 0]
+        x_ctr, new_state["ctr_mlp"] = T.apply_mlp(
+            params["ctr_mlp"], state["ctr_mlp"], x,
+            keep_probs=cfg.dropout_list, train=train, rng=k_ctr,
+            batch_norm=cfg.batch_norm, bn_decay=cfg.batch_norm_decay,
+        )
+        y_ctr = T.dense(params["ctr_out"], x_ctr)[:, 0]
+
+        pctr = jax.nn.sigmoid(y_ctr)
+        pcvr = jax.nn.sigmoid(y_cvr)
+        pctcvr = pctr * pcvr
+        return {
+            "logits": y_ctr,
+            "logits_cvr": y_cvr,
+            "pctr": pctr,
+            "pcvr": pcvr,
+            "pctcvr": pctcvr,
+            "prob": pctcvr,
+        }, new_state
+
+    def loss(self, params, state, batch, *, train, rng=None, lookup=dense_lookup):
+        out, new_state = self.apply(params, state, batch, train=train, rng=rng, lookup=lookup)
+        y, z = batch["y"], batch["z"]
+        mask = batch.get("mask")
+        ctr_per = M.sigmoid_xent(out["logits"], y)
+        if mask is None:
+            ctr_loss = jnp.mean(ctr_per)
+            cvr_loss = M.log_loss(z, out["pctcvr"])
+        else:
+            wsum = jnp.maximum(jnp.sum(mask), 1.0)
+            ctr_loss = jnp.sum(ctr_per * mask) / wsum
+            cvr_loss = M.log_loss(z, out["pctcvr"], mask)
+        w = self.cfg.ctr_task_wgt
+        loss = w * ctr_loss + (1.0 - w) * cvr_loss + self.l2_loss(params)
+        return loss, (out, new_state)
+
+    def l2_loss(self, params: Params) -> jax.Array:
+        return self.cfg.l2_reg * 0.5 * jnp.sum(jnp.square(params["emb"]))
+
+    def eval_metrics(self, out: Outputs, batch: Batch):
+        return {
+            "CTR_AUC": (batch["y"], out["pctr"]),
+            "CVR_AUC": (batch["z"], out["pcvr"]),
+            "CTCVR_AUC": (batch["z"], out["pctcvr"]),
+        }
+
+    @property
+    def prediction_keys(self):
+        return ["pctcvr", "pctr", "pcvr"]
+
+    def param_spec(self):
+        spec = super().param_spec()
+        spec["emb"] = MODEL_AXIS_SPEC
+        return spec

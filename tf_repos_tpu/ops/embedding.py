@@ -1,0 +1,67 @@
+"""Embedding-table creation and shard-aware lookup.
+
+Single-chip lookup is a plain XLA gather. Under a multi-chip mesh the
+tables are ROW-SHARDED over the "model" axis (the TPU-native replacement
+for the reference's parameter-server variable sharding — SURVEY.md §2.5):
+each shard gathers the ids that fall in its row range (masked, clamped)
+and a psum over the model axis assembles the full embeddings. The psum
+rides ICI; its transpose is the local scatter-add, so table gradients
+stay shard-local with no extra communication.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+LookupFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def glorot_normal_init(rng: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+    """tf.glorot_normal_initializer semantics: truncated normal with
+    stddev = sqrt(2/(fan_in+fan_out)); for 1-D shapes TF's compute_fans
+    gives fan_in = fan_out = shape[0] (used for FM_W, DeepFM.py:115)."""
+    if len(shape) == 1:
+        fan_in = fan_out = shape[0]
+    else:
+        fan_in, fan_out = shape[-2], shape[-1]
+    std = math.sqrt(2.0 / (fan_in + fan_out))
+    # TF truncates at 2 sigma and rescales by 1/0.87962566 internally
+    return jax.random.truncated_normal(rng, -2.0, 2.0, shape, dtype) * (std / 0.87962566)
+
+
+def dense_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """Unsharded gather: table:[V,...], ids:int[...] -> [..., ...]."""
+    return table[ids]
+
+
+def make_sharded_lookup(model_axis: str) -> LookupFn:
+    """Lookup for use INSIDE shard_map where ``table`` is the local row
+    shard. Shards must be equal-sized (pad the vocab to a multiple of the
+    model-axis size; id 0 is reserved padding so clamping is safe)."""
+
+    def lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
+        shard = jax.lax.axis_index(model_axis)
+        rows = table.shape[0]
+        local = ids - shard * rows
+        ok = (local >= 0) & (local < rows)
+        safe = jnp.clip(local, 0, rows - 1)
+        emb = table[safe]
+        mask = ok.astype(emb.dtype)
+        emb = emb * (mask[..., None] if emb.ndim > ids.ndim else mask)
+        return jax.lax.psum(emb, model_axis)
+
+    return lookup
+
+
+def pad_vocab(feature_size: int, num_shards: int) -> int:
+    """Smallest padded vocab divisible by num_shards (and 8-row aligned)."""
+    align = num_shards * 8
+    return ((feature_size + align - 1) // align) * align
+
+
+def get_lookup(model_axis: Optional[str]) -> LookupFn:
+    return dense_lookup if model_axis is None else make_sharded_lookup(model_axis)

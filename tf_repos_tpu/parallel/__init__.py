@@ -1,0 +1,3 @@
+from tf_repos_tpu.parallel.mesh import make_mesh
+
+__all__ = ["make_mesh"]

@@ -1,0 +1,200 @@
+"""The Estimator-equivalent trainer harness.
+
+Reproduces the reference main()'s lifecycle (DeepFM.py:284-366):
+  task_type=train  -> train loop with periodic eval (train_and_evaluate,
+                      EvalSpec throttle_secs=1200, DeepFM.py:343-346)
+  task_type=eval   -> one eval pass over va files (:347-348)
+  task_type=infer  -> streaming predictions to {data_dir}/pred.txt
+                      (:349-353, predict_keys="prob")
+  task_type=export -> versioned servable export (:354-366)
+
+plus: date-partitioned model_dir (:286-288), --clear_existing_model
+(:318-324), hyperparameter echo (:291-307), loss/steps-per-sec logging
+every log_steps (RunConfig :339-340), checkpoint/resume via Orbax.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_repos_tpu.config import Config, echo_config
+from tf_repos_tpu.data.libsvm import LibsvmDataset, glob_input_files
+from tf_repos_tpu.data.pipeline import Prefetcher
+from tf_repos_tpu.models import create_model
+from tf_repos_tpu.models.base import CtrModel
+from tf_repos_tpu.train import loop as L
+from tf_repos_tpu.train.checkpoint import CheckpointManager, clear_existing_model
+from tf_repos_tpu.train.optimizers import make_optimizer
+
+
+class Harness:
+    def __init__(self, cfg: Config, model: Optional[CtrModel] = None):
+        self.cfg = cfg
+        self.model = model or create_model(cfg)
+        self.tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+        self.model_dir = cfg.resolved_model_dir() or "./model_ckpt"
+        self._train_step = None
+        self._eval_step = None
+        self._predict_step = None
+
+    # ---------------------------------------------------------- state init
+    def init_train_state(self, rng: Optional[jax.Array] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        params, mstate = self.model.init(rng)
+        opt_state = self.tx.init(params)
+        return {"params": params, "opt_state": opt_state, "mstate": mstate, "step": 0}
+
+    def restore_or_init(self, ckpt: CheckpointManager):
+        ts = self.init_train_state()
+        if ckpt.latest_step() is not None:
+            restored = ckpt.restore(ts)
+            if restored is not None:
+                return restored
+        return ts
+
+    # ------------------------------------------------------------- datasets
+    def _dataset(self, pattern: str, *, shuffle: bool, epochs: int) -> Iterable:
+        cfg = self.cfg
+        files = glob_input_files(cfg.data_dir, pattern, shuffle=shuffle, seed=cfg.seed)
+        if not files:
+            raise FileNotFoundError(f"no input files match {cfg.data_dir}/{pattern}")
+        ds = LibsvmDataset(
+            files,
+            field_size=cfg.field_size,
+            batch_size=cfg.batch_size,
+            num_epochs=epochs,
+            perform_shuffle=shuffle,
+            shuffle_buffer=cfg.shuffle_buffer,
+            seed=cfg.seed,
+        )
+        return Prefetcher(ds, size=cfg.prefetch_batches)
+
+    # ----------------------------------------------------------------- train
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        ckpt = CheckpointManager(
+            self.model_dir,
+            keep=cfg.keep_checkpoint_max,
+            save_interval_steps=cfg.save_checkpoints_steps,
+        )
+        ts = self.restore_or_init(ckpt)
+        step = int(ts["step"])
+        train_step = self._train_step or L.build_train_step(self.model, self.tx)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        losses: List[float] = []
+        t0 = time.time()
+        last_log, last_eval = t0, t0
+        metrics: Dict[str, float] = {}
+        params, opt_state, mstate = ts["params"], ts["opt_state"], ts["mstate"]
+
+        for batch in self._dataset("tr*libsvm", shuffle=True, epochs=cfg.num_epochs):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, mstate, loss = train_step(
+                params, opt_state, mstate, batch, sub
+            )
+            step += 1
+            losses.append(loss)
+            if step % cfg.log_steps == 0:
+                now = time.time()
+                mean_loss = float(jnp.mean(jnp.stack(losses[-cfg.log_steps:])))
+                rate = cfg.log_steps / max(now - last_log, 1e-9)
+                print(
+                    f"INFO: step = {step}, loss = {mean_loss:.5f} "
+                    f"({rate:.3f} steps/sec, {rate * cfg.batch_size:.0f} examples/sec)"
+                )
+                last_log = now
+                losses = losses[-1:]
+                if cfg.save_checkpoints_steps:
+                    ckpt.save(step, {"params": params, "opt_state": opt_state, "mstate": mstate, "step": step})
+            if (
+                cfg.eval_throttle_secs
+                and time.time() - last_eval > cfg.eval_throttle_secs
+            ):
+                metrics = self._maybe_eval(params, mstate)
+                last_eval = time.time()
+
+        ckpt.save(step, {"params": params, "opt_state": opt_state, "mstate": mstate, "step": step}, force=True)
+        ckpt.close()
+        metrics = self._maybe_eval(params, mstate) or metrics
+        metrics["step"] = step
+        metrics["wall_time"] = time.time() - t0
+        return metrics
+
+    def _maybe_eval(self, params, mstate) -> Dict[str, float]:
+        try:
+            return self._run_eval(params, mstate)
+        except FileNotFoundError:
+            return {}
+
+    # ------------------------------------------------------------------ eval
+    def _run_eval(self, params, mstate) -> Dict[str, float]:
+        eval_step = self._eval_step or L.build_eval_step(self.model)
+        acc = L.init_eval_acc(self.model)
+        for batch in self._dataset("va*libsvm", shuffle=False, epochs=1):
+            acc = eval_step(params, mstate, acc, batch)
+        res = L.finalize_eval(acc)
+        print("INFO: eval:", " ".join(f"{k} = {v:.6f}" for k, v in res.items()))
+        return res
+
+    def evaluate(self) -> Dict[str, float]:
+        ckpt = CheckpointManager(self.model_dir, keep=self.cfg.keep_checkpoint_max)
+        ts = self.restore_or_init(ckpt)
+        ckpt.close()
+        return self._run_eval(ts["params"], ts["mstate"])
+
+    # ----------------------------------------------------------------- infer
+    def infer(self, out_path: Optional[str] = None) -> str:
+        """Streaming predict over te files -> pred.txt (DeepFM.py:349-353)."""
+        cfg = self.cfg
+        ckpt = CheckpointManager(self.model_dir, keep=cfg.keep_checkpoint_max)
+        ts = self.restore_or_init(ckpt)
+        ckpt.close()
+        predict_step = self._predict_step or L.build_predict_step(self.model)
+        out_path = out_path or os.path.join(cfg.data_dir, "pred.txt")
+        key = self.model.prediction_keys[0]
+        with open(out_path, "w") as f:
+            for batch in self._dataset("te*libsvm", shuffle=False, epochs=1):
+                preds = np.asarray(predict_step(ts["params"], ts["mstate"], batch)[key])
+                for p, m in zip(preds, batch["mask"]):
+                    if m > 0:
+                        f.write(f"{p:f}\n")
+        return out_path
+
+    # ---------------------------------------------------------------- export
+    def export(self) -> str:
+        from tf_repos_tpu.serve.export import export_servable
+
+        cfg = self.cfg
+        ckpt = CheckpointManager(self.model_dir, keep=cfg.keep_checkpoint_max)
+        ts = self.restore_or_init(ckpt)
+        ckpt.close()
+        return export_servable(
+            cfg.servable_model_dir or os.path.join(self.model_dir, "servable"),
+            self.model,
+            ts["params"],
+            ts["mstate"],
+        )
+
+
+def run_task(cfg: Config) -> Dict[str, float] | str:
+    """CLI entry: task_type dispatch, exactly the reference main() flow."""
+    echo_config(cfg)
+    if cfg.clear_existing_model and cfg.task_type == "train":
+        clear_existing_model(cfg.resolved_model_dir())
+    h = Harness(cfg)
+    if cfg.task_type == "train":
+        return h.train()
+    if cfg.task_type == "eval":
+        return h.evaluate()
+    if cfg.task_type == "infer":
+        return h.infer()
+    if cfg.task_type == "export":
+        return h.export()
+    raise ValueError(f"unknown task_type {cfg.task_type!r}")

@@ -1,0 +1,90 @@
+"""Jitted step builders: train / eval / predict.
+
+Single-chip and data-parallel-sharded execution share these builders; the
+mesh-aware variants (row-sharded tables via shard_map) live in
+tf_repos_tpu/parallel/step.py. All steps are pure functions compiled once
+(XLA traces f(x) exactly once; no data-dependent Python control flow).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tf_repos_tpu.models.base import CtrModel
+from tf_repos_tpu.ops import metrics as M
+
+
+def build_train_step(model: CtrModel, tx: optax.GradientTransformation):
+    """(params, opt_state, mstate, batch, rng) -> (params, opt_state,
+    mstate, loss). Donated inputs so the big tables update in place."""
+
+    def step(params, opt_state, mstate, batch, rng):
+        (loss, (_, new_mstate)), grads = jax.value_and_grad(model.loss, has_aux=True)(
+            params, mstate, batch, train=True, rng=rng
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, new_mstate, loss
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def build_eval_step(model: CtrModel):
+    """Accumulates loss and per-metric streaming-AUC counts on device.
+
+    acc = {"loss_sum", "weight_sum", "auc": {name: AucState}}
+    """
+
+    def step(params, mstate, acc, batch):
+        loss, (out, _) = model.loss(params, mstate, batch, train=False)
+        w = batch.get("mask")
+        wsum = jnp.sum(w) if w is not None else jnp.float32(batch["label"].shape[0])
+        new_auc = {}
+        for name, (labels, preds) in model.eval_metrics(out, batch).items():
+            new_auc[name] = M.auc_update(acc["auc"][name], labels, preds, w)
+        return {
+            "loss_sum": acc["loss_sum"] + loss * wsum,
+            "weight_sum": acc["weight_sum"] + wsum,
+            "auc": new_auc,
+        }
+
+    return jax.jit(step, donate_argnums=(2,))
+
+
+def init_eval_acc(model: CtrModel) -> Dict[str, Any]:
+    return {
+        "loss_sum": jnp.float32(0.0),
+        "weight_sum": jnp.float32(0.0),
+        "auc": {name: M.AucState.init() for name in model_metric_names(model)},
+    }
+
+
+def model_metric_names(model: CtrModel):
+    """Metric names without running the model: probe eval_metrics with
+    dummy arrays (it only builds a dict of (labels, preds) pairs)."""
+    dummy_out = {k: jnp.zeros((1,)) for k in ("prob", "logits", "pctr", "pcvr", "pctcvr")}
+    dummy_batch = {k: jnp.zeros((1,)) for k in ("label", "y", "z", "mask")}
+    try:
+        return list(model.eval_metrics(dummy_out, dummy_batch).keys())
+    except Exception:
+        return ["auc"]
+
+
+def finalize_eval(acc) -> Dict[str, float]:
+    res = {"loss": float(acc["loss_sum"] / jnp.maximum(acc["weight_sum"], 1.0))}
+    for name, st in acc["auc"].items():
+        res[name] = float(M.auc_finalize(st))
+    return res
+
+
+def build_predict_step(model: CtrModel):
+    def step(params, mstate, batch):
+        out, _ = model.apply(params, mstate, batch, train=False)
+        return {k: out[k] for k in model.prediction_keys}
+
+    return jax.jit(step)

@@ -1,0 +1,114 @@
+"""Optimizers with the reference's exact hyperparameters.
+
+Reference switch (DeepFM.py:204-211):
+  Adam     beta1=0.9 beta2=0.999 epsilon=1e-8
+  Adagrad  initial_accumulator_value=1e-8 (TF Adagrad has no epsilon)
+  Momentum momentum=0.95
+  ftrl     TF defaults: lr_power=-0.5, init_accum=0.1, l1=0, l2=0
+  GD       advertised in the flag help (DeepFM.py:50) but has NO branch in
+           the reference — --optimizer=GD silently crashes there. Here it
+           is implemented as plain SGD (documented deviation).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
+    key = name.lower()
+    if key == "adam":
+        return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if key == "adagrad":
+        return adagrad_tf(learning_rate, initial_accumulator_value=1e-8)
+    if key == "momentum":
+        return optax.sgd(learning_rate, momentum=0.95, nesterov=False)
+    if key == "ftrl":
+        return ftrl(learning_rate)
+    if key in ("gd", "sgd"):
+        return optax.sgd(learning_rate)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+# ----------------------------------------------------------------- adagrad
+class AdagradState(NamedTuple):
+    accum: optax.Updates
+
+
+def adagrad_tf(
+    learning_rate: float, initial_accumulator_value: float = 1e-8
+) -> optax.GradientTransformation:
+    """TF AdagradOptimizer: accum += g^2; step = lr * g / sqrt(accum).
+    (No epsilon term, unlike optax.adagrad.)"""
+
+    def init(params):
+        return AdagradState(
+            jax.tree.map(
+                lambda p: jnp.full_like(p, initial_accumulator_value), params
+            )
+        )
+
+    def update(grads, state, params=None):
+        accum = jax.tree.map(lambda a, g: a + jnp.square(g), state.accum, grads)
+        steps = jax.tree.map(
+            lambda g, a: -learning_rate * g * jax.lax.rsqrt(a), grads, accum
+        )
+        return steps, AdagradState(accum)
+
+    return optax.GradientTransformation(init, update)
+
+
+# -------------------------------------------------------------------- ftrl
+class FtrlState(NamedTuple):
+    n: optax.Updates  # sum of squared grads
+    z: optax.Updates  # ftrl linear term
+
+
+def ftrl(
+    learning_rate: float,
+    learning_rate_power: float = -0.5,
+    initial_accumulator_value: float = 0.1,
+    l1_regularization_strength: float = 0.0,
+    l2_regularization_strength: float = 0.0,
+) -> optax.GradientTransformation:
+    """FTRL-Proximal (McMahan et al. 2013) with TF FtrlOptimizer defaults —
+    the reference uses it for the sparse/wide part (DeepFM.py:210-211)."""
+    lr = learning_rate
+    p = learning_rate_power
+    l1 = l1_regularization_strength
+    l2 = l2_regularization_strength
+
+    def init(params):
+        n0 = jax.tree.map(
+            lambda x: jnp.full_like(x, initial_accumulator_value), params
+        )
+        z0 = jax.tree.map(jnp.zeros_like, params)
+        return FtrlState(n0, z0)
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("ftrl requires params")
+
+        def upd(g, n, z, w):
+            n_new = n + jnp.square(g)
+            sigma = (jnp.power(n_new, -p) - jnp.power(n, -p)) / lr
+            z_new = z + g - sigma * w
+            w_new = jnp.where(
+                jnp.abs(z_new) <= l1,
+                0.0,
+                -(z_new - jnp.sign(z_new) * l1)
+                / (jnp.power(n_new, -p) / lr + 2.0 * l2),
+            )
+            return w_new - w, n_new, z_new
+
+        flat = jax.tree.map(upd, grads, state.n, state.z, params)
+        steps = jax.tree.map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
+        n_new = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
+        z_new = jax.tree.map(lambda t: t[2], flat, is_leaf=lambda t: isinstance(t, tuple))
+        return steps, FtrlState(n_new, z_new)
+
+    return optax.GradientTransformation(init, update)
