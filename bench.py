@@ -1,0 +1,86 @@
+"""Headline benchmark: DeepFM training throughput on Criteo shapes.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/sec", "vs_baseline": N}
+
+vs_baseline: the reference publishes no training-throughput numbers
+(SURVEY.md §6); its only per-example figure is the serving forward cost of
+~0.5 ms/example (deep_ctr/README.md:78-81), i.e. 2000 examples/sec.
+vs_baseline is value / 2000 — how many times faster one TPU chip trains
+(fwd+bwd+Adam) than the reference's production CPU serving forward.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_EXAMPLES_PER_SEC = 2000.0  # 0.5 ms/example serving forward
+
+
+def main() -> None:
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.synthetic import synthetic_criteo_batch
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.train.loop import build_train_step
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    batch_size = 16384
+    cfg = Config(
+        model="DeepFM",
+        feature_size=117_581,  # Criteo feature space (deep_ctr/README.md:51)
+        field_size=39,
+        embedding_size=16,
+        deep_layers="256,128,64",
+        dropout="1.0,1.0,1.0",
+        batch_size=batch_size,
+        learning_rate=0.0005,
+        l2_reg=0.0001,
+        optimizer="Adam",
+    )
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    step = build_train_step(model, tx)
+
+    rng = np.random.default_rng(0)
+    batches = [
+        jax.tree.map(jnp.asarray, synthetic_criteo_batch(rng, batch_size, cfg.feature_size))
+        for _ in range(4)
+    ]
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile. Sync via float(): a device->host copy is the only
+    # reliable barrier on the axon platform (block_until_ready returns
+    # early there).
+    for i in range(3):
+        params, opt_state, mstate, loss = step(params, opt_state, mstate, batches[i % 4], key)
+    float(loss)
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, opt_state, mstate, loss = step(params, opt_state, mstate, batches[i % 4], key)
+    float(loss)
+    dt = time.perf_counter() - t0
+
+    eps = n_steps * batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "deepfm_criteo_train_examples_per_sec_1chip",
+                "value": round(eps, 1),
+                "unit": "examples/sec",
+                "vs_baseline": round(eps / REFERENCE_EXAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,43 @@ def synthetic_criteo_batch(
     }
 
 
+def synthetic_aliccp_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    feature_size: int,
+    field_size: int = 11,
+    multi_hot_pad: int = 64,
+    avg_hot: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Ali-CCP-shaped padded batch (layout of data/ragged.py): 11 common
+    single-valued fields, 4 user multi-hot id/val fields, 3 scalar ad
+    fields, 1 ad multi-hot field, labels y (click) and z (conversion,
+    z=1 only when y=1 — the reference filters illegal y=0∧z=1 rows,
+    get_join_mapper.py:30-31)."""
+    b, p = batch_size, multi_hot_pad
+    hi = max(feature_size - 1, 2)
+    out: Dict[str, np.ndarray] = {
+        "feat_ids": rng.integers(1, hi, size=(b, field_size)).astype(np.int32),
+        "a_catids": rng.integers(1, hi, size=(b,)).astype(np.int32),
+        "a_shopids": rng.integers(1, hi, size=(b,)).astype(np.int32),
+        "a_brandids": rng.integers(1, hi, size=(b,)).astype(np.int32),
+        "mask": np.ones((b,), np.float32),
+    }
+    for f in ("u_cat", "u_shop", "u_brand", "u_int"):
+        ids = rng.integers(1, hi, size=(b, p)).astype(np.int32)
+        lens = rng.integers(1, min(avg_hot * 2, p) + 1, size=(b, 1))
+        keep = np.arange(p)[None, :] < lens
+        out[f"{f}ids"] = np.where(keep, ids, 0).astype(np.int32)
+        out[f"{f}vals"] = keep.astype(np.float32)
+    a_ids = rng.integers(1, hi, size=(b, p)).astype(np.int32)
+    a_keep = np.arange(p)[None, :] < rng.integers(1, min(avg_hot, p) + 1, size=(b, 1))
+    out["a_intids"] = np.where(a_keep, a_ids, 0).astype(np.int32)
+    y = (rng.random(b) < 0.5).astype(np.float32)
+    z = ((rng.random(b) < 0.3) & (y > 0)).astype(np.float32)
+    out["y"], out["z"], out["label"] = y, z, y
+    return out
+
+
 def write_synthetic_libsvm(
     path: str,
     num_samples: int,

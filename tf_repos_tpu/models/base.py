@@ -102,6 +102,16 @@ class CtrModel:
             data_loss = jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         return data_loss + self.l2_loss(params), (out, new_state)
 
+    def per_example_loss(self, out: Outputs, batch: Batch) -> jax.Array:
+        """[B] data-loss per example (no L2, no normalization). The
+        mesh-sharded step (parallel/step.py) uses this to apply its own
+        global masked-mean normalization across the data axis."""
+        logits = out["logits"]
+        label = batch["label"]
+        if self.cfg.loss_type == "square_loss":
+            return M.squared_loss(logits, label)
+        return M.sigmoid_xent(logits, label)
+
     def eval_metrics(self, out: Outputs, batch: Batch) -> Dict[str, Tuple[jax.Array, jax.Array]]:
         """(labels, preds) pairs to feed streaming AUC; one per metric
         (reference: {"auc": tf.metrics.auc(labels, pred)}, DeepFM.py:193)."""

@@ -133,6 +133,17 @@ class ESMM(CtrModel):
         loss = w * ctr_loss + (1.0 - w) * cvr_loss + self.l2_loss(params)
         return loss, (out, new_state)
 
+    def per_example_loss(self, out: Outputs, batch: Batch) -> jax.Array:
+        """[B] joint loss per example: w·CE(y_ctr; y) + (1−w)·log_loss
+        (pctcvr; z) — the masked-mean of this equals loss() minus L2."""
+        y, z = batch["y"], batch["z"]
+        ctr_per = M.sigmoid_xent(out["logits"], y)
+        eps = 1e-7
+        p = jnp.clip(out["pctcvr"], eps, 1.0 - eps)
+        cvr_per = -(z * jnp.log(p) + (1.0 - z) * jnp.log(1.0 - p))
+        w = self.cfg.ctr_task_wgt
+        return w * ctr_per + (1.0 - w) * cvr_per
+
     def l2_loss(self, params: Params) -> jax.Array:
         return self.cfg.l2_reg * 0.5 * jnp.sum(jnp.square(params["emb"]))
 

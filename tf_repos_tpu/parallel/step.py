@@ -1,0 +1,304 @@
+"""Mesh-sharded train / eval / predict steps (shard_map over data × model).
+
+This is the TPU-native replacement for the reference's between-graph
+asynchronous parameter-server training (set_dist_env + TF_CONFIG,
+/root/reference/deep_ctr/Model_pipeline/DeepFM.py:237-282, launched by
+run_dist.sh): the ps-hosted variable shards become embedding tables
+row-sharded over the "model" mesh axis, and the async gradient push/pull
+becomes a synchronous psum over the "data" axis compiled into the step —
+all collectives ride ICI, no user-level RPC.
+
+Gradient math (documented so the collective layout is auditable). The
+steps run under shard_map with check_vma=True, so JAX tracks which values
+are device-varying and the AD transposes insert exactly the right
+collectives (verified against single-device grads in tests/test_parallel):
+  * the data loss is  Σ_d local_sum_d / Σ_d local_weight_d ; each device's
+    local term is data-varying, so grad() w.r.t. the data-invariant params
+    automatically all-reduces over "data" — the sync-DP gradient
+    all-reduce that replaces the reference's async PS push/pull;
+  * the psum over "model" inside the sharded embedding lookup
+    (ops/embedding.make_sharded_lookup) produces a model-invariant value,
+    so its transpose is the identity: table gradients stay shard-local
+    with zero extra communication (the EP-style property);
+  * the explicit L2 term is differentiated SEPARATELY from the data loss:
+    it is data-invariant, and adding it to the data-varying loss before
+    grad() would route its cotangent through a pvary whose transpose is a
+    psum over "data" — scaling L2 gradients by the data-axis size. The L2
+    *value* needs a psum over "model" for the table rows (each shard sees
+    only its rows) but not for replicated params (e.g. DCN's cross
+    weights, DCN.py:83-85) — the split is done by zeroing the
+    complementary subset of params, which also disconnects them from
+    autodiff, keeping gradients exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from tf_repos_tpu.models.base import CtrModel
+from tf_repos_tpu.ops import metrics as M
+from tf_repos_tpu.ops.embedding import make_sharded_lookup, pad_vocab
+from tf_repos_tpu.train.loop import model_metric_names
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def is_model_sharded(spec) -> bool:
+    return isinstance(spec, P) and MODEL_AXIS in spec
+
+
+# --------------------------------------------------------------- padding
+def pad_params_for_mesh(params: Any, spec: Any, n_model: int) -> Any:
+    """Zero-pad axis 0 of every model-sharded leaf so the vocab divides
+    the model-axis size (8-row aligned). Padding rows are never gathered
+    (ids < feature_size), get zero gradients, and stay zero under every
+    optimizer in train/optimizers.py."""
+
+    def pad(p, s):
+        if not is_model_sharded(s):
+            return p
+        rows = p.shape[0]
+        target = pad_vocab(rows, n_model)
+        if target == rows:
+            return p
+        widths = [(0, target - rows)] + [(0, 0)] * (p.ndim - 1)
+        return jnp.pad(p, widths)
+
+    return jax.tree.map(pad, params, spec, is_leaf=lambda x: isinstance(x, P))
+
+
+def _spec_tree_like(params: Any, spec: Any) -> Any:
+    """Normalize a param_spec pytree to one PartitionSpec per param leaf
+    (param_spec may put one P at a subtree root, e.g. for a whole MLP)."""
+
+    def expand(s, p):
+        return jax.tree.map(lambda _: s, p)
+
+    return jax.tree.map(expand, spec, params, is_leaf=lambda x: isinstance(x, P))
+
+
+def opt_state_spec(opt_state: Any, params: Any, param_spec: Any) -> Any:
+    """PartitionSpec tree for the optimizer state: any leaf whose shape
+    matches a model-sharded param's shape inherits that spec (Adam mu/nu,
+    Adagrad accum, FTRL n/z all mirror the param shapes); everything else
+    (step counts, scalars) is replicated."""
+    by_shape: Dict[Tuple, P] = {}
+    for p, s in zip(
+        jax.tree.leaves(params),
+        jax.tree.leaves(param_spec, is_leaf=lambda x: isinstance(x, P)),
+    ):
+        if is_model_sharded(s):
+            by_shape[tuple(p.shape)] = s
+
+    def leaf_spec(x):
+        shape = tuple(getattr(x, "shape", ()))
+        return by_shape.get(shape, P())
+
+    return jax.tree.map(leaf_spec, opt_state)
+
+
+def batch_spec(batch: Dict[str, Any]) -> Dict[str, P]:
+    """Every batch array is sharded on the leading (batch) axis."""
+    return jax.tree.map(lambda x: P(DATA_AXIS, *([None] * (np.ndim(x) - 1))), batch)
+
+
+def make_shardings(mesh: Mesh, tree_spec: Any) -> Any:
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), tree_spec, is_leaf=lambda x: isinstance(x, P)
+    )
+
+
+# ----------------------------------------------------------- sharded state
+class ShardedState:
+    """Initializes and places (params, opt_state, mstate) on the mesh."""
+
+    def __init__(self, model: CtrModel, tx: optax.GradientTransformation, mesh: Mesh):
+        self.model = model
+        self.tx = tx
+        self.mesh = mesh
+        self.n_model = mesh.shape[MODEL_AXIS]
+
+    def init(self, rng: jax.Array):
+        params, mstate = self.model.init(rng)
+        pspec = _spec_tree_like(params, self.model.param_spec())
+        params = pad_params_for_mesh(params, pspec, self.n_model)
+        opt_state = self.tx.init(params)
+        ospec = opt_state_spec(opt_state, params, pspec)
+        mspec = jax.tree.map(lambda _: P(), mstate)
+        specs = {"params": pspec, "opt_state": ospec, "mstate": mspec}
+        shardings = {k: make_shardings(self.mesh, v) for k, v in specs.items()}
+        state = {
+            "params": jax.device_put(params, shardings["params"]),
+            "opt_state": jax.device_put(opt_state, shardings["opt_state"]),
+            "mstate": jax.device_put(mstate, shardings["mstate"]),
+        }
+        return state, specs
+
+    def place_batch(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+        sh = make_shardings(self.mesh, batch_spec(batch))
+        return jax.device_put(batch, sh)
+
+
+# ------------------------------------------------------------- loss pieces
+def _split_l2(model: CtrModel, pspec: Any):
+    """Global-L2 function via the zeroing trick.
+
+    Returns ``l2(params) -> scalar`` whose gradient is the exact global-L2
+    gradient on every device and whose value is the global L2.
+    """
+
+    def l2(p):
+        sharded_only = jax.tree.map(
+            lambda x, s: x if is_model_sharded(s) else jnp.zeros_like(x), p, pspec
+        )
+        # fresh constant zeros (NOT zeros_like): zeros_like of a model-
+        # varying shard would be vma-tracked as model-varying and taint
+        # the replicated-L2 value, tripping the out_specs invariance check
+        repl_only = jax.tree.map(
+            lambda x, s: jnp.zeros(x.shape, x.dtype) if is_model_sharded(s) else x,
+            p,
+            pspec,
+        )
+        return jax.lax.psum(model.l2_loss(sharded_only), MODEL_AXIS) + model.l2_loss(
+            repl_only
+        )
+
+    return l2
+
+
+def build_sharded_train_step(
+    model: CtrModel, tx: optax.GradientTransformation, mesh: Mesh, specs: Dict[str, Any]
+):
+    """(state, batch, rng) -> (state, loss). Compiled once; donated state."""
+    pspec, ospec, mspec = specs["params"], specs["opt_state"], specs["mstate"]
+    lookup = make_sharded_lookup(MODEL_AXIS)
+    l2_fn = _split_l2(model, pspec)
+
+    def step(params, opt_state, mstate, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def data_loss_fn(p):
+            out, new_ms = model.apply(
+                p, mstate, batch, train=True, rng=rng, lookup=lookup
+            )
+            per, w = model_per_example_loss(model, out, batch)
+            tot_w = jax.lax.psum(jnp.sum(w), DATA_AXIS)
+            local = jnp.sum(per * w) / jnp.maximum(tot_w, 1.0)
+            return local, new_ms
+
+        (local_loss, new_mstate), dgrads = jax.value_and_grad(
+            data_loss_fn, has_aux=True
+        )(params)
+        # BN moving stats are computed from the local batch shard (data-
+        # varying); average them so the carried state is data-invariant.
+        new_mstate = jax.tree.map(
+            lambda x: jax.lax.pmean(x, DATA_AXIS), new_mstate
+        )
+
+        l2_val, l2_grads = jax.value_and_grad(l2_fn)(params)
+        grads = jax.tree.map(jnp.add, dgrads, l2_grads)
+
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        loss = jax.lax.psum(local_loss, DATA_AXIS) + l2_val
+        return new_params, new_opt_state, new_mstate, loss
+
+    def wrapped(state, batch, rng):
+        bspec = batch_spec(batch)
+        sharded = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(pspec, ospec, mspec, bspec, P()),
+            out_specs=(pspec, ospec, mspec, P()),
+            check_vma=True,
+        )
+        p, o, m, loss = sharded(
+            state["params"], state["opt_state"], state["mstate"], batch, rng
+        )
+        return {"params": p, "opt_state": o, "mstate": m}, loss
+
+    return jax.jit(wrapped, donate_argnums=(0,))
+
+
+def model_per_example_loss(model: CtrModel, out, batch):
+    """Per-example loss + weights, factored so the sharded step can apply
+    its own global normalization (CtrModel.per_example_loss)."""
+    per = model.per_example_loss(out, batch)
+    w = batch.get("mask")
+    if w is None:
+        w = jnp.ones_like(per)
+    return per, w
+
+
+def build_sharded_eval_step(model: CtrModel, mesh: Mesh, specs: Dict[str, Any]):
+    """(params, mstate, acc, batch) -> acc with globally-reduced counts."""
+    pspec, mspec = specs["params"], specs["mstate"]
+    lookup = make_sharded_lookup(MODEL_AXIS)
+    names = model_metric_names(model)
+    acc_spec = {
+        "loss_sum": P(),
+        "weight_sum": P(),
+        "auc": {n: jax.tree.map(lambda _: P(), M.AucState.init()) for n in names},
+    }
+
+    def step(params, mstate, acc, batch):
+        out, _ = model.apply(params, mstate, batch, train=False, lookup=lookup)
+        per, w = model_per_example_loss(model, out, batch)
+        # the reference's reported eval loss is the EstimatorSpec loss,
+        # which includes the L2 term — accumulate it weight-proportionally
+        l2_val = _split_l2(model, pspec)(params)
+        local_loss = jnp.sum((per + l2_val) * w)
+        local_w = jnp.sum(w)
+        new_auc = {}
+        for name, (labels, preds) in model.eval_metrics(out, batch).items():
+            zero = M.AucState.init()
+            upd = M.auc_update(zero, labels, preds, w)
+            upd = jax.tree.map(lambda x: jax.lax.psum(x, DATA_AXIS), upd)
+            new_auc[name] = jax.tree.map(jnp.add, acc["auc"][name], upd)
+        return {
+            "loss_sum": acc["loss_sum"] + jax.lax.psum(local_loss, DATA_AXIS),
+            "weight_sum": acc["weight_sum"] + jax.lax.psum(local_w, DATA_AXIS),
+            "auc": new_auc,
+        }
+
+    def wrapped(params, mstate, acc, batch):
+        return shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(pspec, mspec, acc_spec, batch_spec(batch)),
+            out_specs=acc_spec,
+            check_vma=True,
+        )(params, mstate, acc, batch)
+
+    return jax.jit(wrapped, donate_argnums=(2,))
+
+
+def build_sharded_predict_step(model: CtrModel, mesh: Mesh, specs: Dict[str, Any]):
+    pspec, mspec = specs["params"], specs["mstate"]
+    lookup = make_sharded_lookup(MODEL_AXIS)
+    keys = model.prediction_keys
+
+    def step(params, mstate, batch):
+        out, _ = model.apply(params, mstate, batch, train=False, lookup=lookup)
+        return {k: out[k] for k in keys}
+
+    def wrapped(params, mstate, batch):
+        out_spec = {k: P(DATA_AXIS) for k in keys}
+        return shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(pspec, mspec, batch_spec(batch)),
+            out_specs=out_spec,
+            check_vma=True,
+        )(params, mstate, batch)
+
+    return jax.jit(wrapped)
