@@ -1,0 +1,189 @@
+"""Criteo log preprocessor: raw tab-separated logs -> libsvm + feature_map.
+
+Behavioral spec from /root/reference/deep_ctr/Feature_pipeline/
+get_criteo_feature.py ("approach 3" in deep_ctr/README.md:24-31):
+
+  * 13 integer features I1..I13 (:20), clipped at a fixed per-feature 95th
+    percentile list (:25), min-max normalized to [0,1] from the CLIPPED
+    train-set range (:63-90); empty -> 0.0 (:87-88). Emitted as
+    ``<field_index>:<val>`` with val %.6f, trailing zeros stripped
+    (:139-141).
+  * 26 categorical features C1..C26 (:21): per-feature frequency dict over
+    train.txt, values with count < cutoff (default 200) dropped, remaining
+    sorted by (-count, key), ids 1..V, '<unk>' -> 0 (:38-50). Emitted as
+    ``<dict_id + field_offset>:1`` with offsets starting at 13 (:120-123,
+    :143-145) — one dataset-wide id space.
+  * feature_map lines ``I<i> <i>`` and ``C<i>|<key> <id>`` (:116-125).
+    DEVIATION (documented): the reference writes ``offset + id + 1`` into
+    feature_map but emits ``offset + id`` into the libsvm data (:125 vs
+    :144) — an internal off-by-one. Here feature_map matches the EMITTED
+    ids, so the map can actually be used to decode the data.
+  * 90/10 train/valid split by random.randint(0,9999) % 10 with seed 0
+    (:127-151); test.txt (no label column) -> te.libsvm.
+    DEVIATION (documented): the reference labels every te.libsvm row with
+    the LAST train label left in scope (:148-167, stale variable — a
+    latent bug); here test rows get label 0.
+
+feature_size for training = 13 + sum(len(dict)+1 per categorical) — the
+published 117,581 for the full dataset (deep_ctr/README.md:51).
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import os
+import random
+from typing import Dict, List, Optional, Sequence, TextIO
+
+NUM_CONTINUOUS = 13
+NUM_CATEGORICAL = 26
+# 95th-percentile clip points (get_criteo_feature.py:25)
+CONTINUOUS_CLIP = [20, 600, 100, 50, 64000, 500, 100, 50, 500, 10, 10, 10, 50]
+
+
+class CategoryDictGenerator:
+    """Per-categorical-feature frequency dict -> dense ids (cutoff filter,
+    frequency-sorted, <unk>=0). get_criteo_feature.py:28-61."""
+
+    def __init__(self, num_feature: int = NUM_CATEGORICAL):
+        self.num_feature = num_feature
+        self.counts = [collections.defaultdict(int) for _ in range(num_feature)]
+        self.dicts: List[Dict[str, int]] = []
+
+    def accumulate(self, fields: Sequence[str], base: int) -> None:
+        for i in range(self.num_feature):
+            v = fields[base + i]
+            if v != "":
+                self.counts[i][v] += 1
+
+    def build(self, cutoff: int = 200) -> None:
+        self.dicts = []
+        for i in range(self.num_feature):
+            kept = [(k, c) for k, c in self.counts[i].items() if c >= cutoff]
+            kept.sort(key=lambda kv: (-kv[1], kv[0]))
+            d = {k: j + 1 for j, (k, _) in enumerate(kept)}
+            d["<unk>"] = 0
+            self.dicts.append(d)
+
+    def gen(self, idx: int, key: str) -> int:
+        return self.dicts[idx].get(key, 0)
+
+    def dict_sizes(self) -> List[int]:
+        return [len(d) for d in self.dicts]
+
+
+class ContinuousFeatureGenerator:
+    """Clip-then-min-max normalizer for the integer features.
+    get_criteo_feature.py:64-91."""
+
+    def __init__(self, num_feature: int = NUM_CONTINUOUS, clip=None):
+        self.num_feature = num_feature
+        self.clip = list(clip if clip is not None else CONTINUOUS_CLIP)
+        self.min = [float("inf")] * num_feature
+        self.max = [float("-inf")] * num_feature
+
+    def accumulate(self, fields: Sequence[str], base: int) -> None:
+        for i in range(self.num_feature):
+            v = fields[base + i]
+            if v != "":
+                val = min(int(v), self.clip[i])
+                self.min[i] = min(self.min[i], val)
+                self.max[i] = max(self.max[i], val)
+
+    def gen(self, idx: int, val: str) -> float:
+        if val == "":
+            return 0.0
+        span = self.max[idx] - self.min[idx]
+        if span <= 0:
+            return 0.0
+        return (min(float(val), self.clip[idx]) - self.min[idx]) / span
+
+
+def _emit_line(
+    fields: Sequence[str],
+    label: str,
+    cont: ContinuousFeatureGenerator,
+    cats: CategoryDictGenerator,
+    offsets: Sequence[int],
+    base: int,
+    out: TextIO,
+) -> None:
+    parts = [label]
+    for i in range(cont.num_feature):
+        v = cont.gen(i, fields[base + i])
+        s = f"{v:.6f}".rstrip("0").rstrip(".")
+        parts.append(f"{i + 1}:{s if s else '0'}")
+    for i in range(cats.num_feature):
+        fid = cats.gen(i, fields[base + cont.num_feature + i]) + offsets[i]
+        parts.append(f"{fid}:1")
+    out.write(" ".join(parts) + "\n")
+
+
+def preprocess(
+    input_dir: str,
+    output_dir: str,
+    cutoff: int = 200,
+    train_file: str = "train.txt",
+    test_file: Optional[str] = "test.txt",
+    seed: int = 0,
+) -> Dict[str, int]:
+    """Run the full pipeline; returns {"feature_size": ..., "field_size": ...}."""
+    os.makedirs(output_dir, exist_ok=True)
+    train_path = os.path.join(input_dir, train_file)
+
+    cont = ContinuousFeatureGenerator()
+    cats = CategoryDictGenerator()
+    with open(train_path) as f:
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            cont.accumulate(fields, 1)
+            cats.accumulate(fields, 1 + NUM_CONTINUOUS)
+    cats.build(cutoff)
+
+    sizes = cats.dict_sizes()
+    offsets = [NUM_CONTINUOUS]
+    for s in sizes[:-1]:
+        offsets.append(offsets[-1] + s)
+    feature_size = NUM_CONTINUOUS + sum(sizes)
+
+    with open(os.path.join(output_dir, "feature_map"), "w") as fm:
+        for i in range(1, NUM_CONTINUOUS + 1):
+            fm.write(f"I{i} {i}\n")
+        for i in range(NUM_CATEGORICAL):
+            for key, vid in cats.dicts[i].items():
+                fm.write(f"C{i + 1}|{key} {offsets[i] + vid}\n")
+
+    rng = random.Random(seed)
+    with open(os.path.join(output_dir, "tr.libsvm"), "w") as tr, open(
+        os.path.join(output_dir, "va.libsvm"), "w"
+    ) as va, open(train_path) as f:
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            out = tr if rng.randint(0, 9999) % 10 != 0 else va
+            _emit_line(fields, fields[0], cont, cats, offsets, 1, out)
+
+    test_path = os.path.join(input_dir, test_file) if test_file else None
+    if test_path and os.path.exists(test_path):
+        with open(os.path.join(output_dir, "te.libsvm"), "w") as te, open(
+            test_path
+        ) as f:
+            for line in f:
+                fields = line.rstrip("\n").split("\t")
+                _emit_line(fields, "0", cont, cats, offsets, 0, te)
+
+    return {"feature_size": feature_size, "field_size": NUM_CONTINUOUS + NUM_CATEGORICAL}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--cutoff", type=int, default=200)
+    a = p.parse_args(argv)
+    info = preprocess(a.input_dir, a.output_dir, a.cutoff)
+    print(f"feature_size {info['feature_size']} field_size {info['field_size']}")
+
+
+if __name__ == "__main__":
+    main()
