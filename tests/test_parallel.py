@@ -85,8 +85,9 @@ def test_sharded_matches_single(model_name, mesh_shape):
     np.testing.assert_allclose(ref_losses, sh_losses, rtol=2e-4, atol=2e-5)
 
     # compare a sharded table (trim padding) and a replicated dense param
-    fm_v = np.asarray(state["params"]["fm_v" if model_name == "DeepFM" else "emb"])
-    ref_v = np.asarray(ref_params["fm_v" if model_name == "DeepFM" else "emb"])
+    key = "fm_wv" if model_name == "DeepFM" else "emb"
+    fm_v = np.asarray(state["params"][key])
+    ref_v = np.asarray(ref_params[key])
     np.testing.assert_allclose(fm_v[: ref_v.shape[0]], ref_v, rtol=2e-3, atol=2e-5)
     # padded rows must stay exactly zero under the optimizer
     assert np.all(fm_v[ref_v.shape[0] :] == 0.0)

@@ -82,6 +82,12 @@ class Config:
 
     # -------------------------------------------------------------- helpers
     @property
+    def tower_dtype(self):
+        """None for f32; otherwise the compute dtype string ("bfloat16")
+        passed to the dense towers (mixed precision: params stay f32)."""
+        return None if self.compute_dtype in ("float32", "f32", "") else self.compute_dtype
+
+    @property
     def deep_layers_list(self) -> List[int]:
         return [int(x) for x in self.deep_layers.split(",") if x]
 

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
     MODEL_AXIS_SPEC,
-    MODEL_AXIS_SPEC_1D,
     Batch,
     CtrModel,
     Outputs,
@@ -28,7 +27,11 @@ from tf_repos_tpu.models.base import (
 )
 from tf_repos_tpu.ops import interactions as I
 from tf_repos_tpu.ops import towers as T
-from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init
+from tf_repos_tpu.ops.embedding import (
+    dense_lookup,
+    fused_linear_lookup,
+    fused_linear_table_init,
+)
 
 
 class AFM(CtrModel):
@@ -41,8 +44,11 @@ class AFM(CtrModel):
         att_params, att_state = T.init_mlp(k_att, cfg.embedding_size, att_layers)
         params = {
             "bias": jnp.zeros((1,), jnp.float32),
-            "linear": glorot_normal_init(k_b, (cfg.feature_size,)),
-            "emb": glorot_normal_init(k_e, (cfg.feature_size, cfg.embedding_size)),
+            # linear + embedding fused into one [V, 1+K] table: one
+            # gather/scatter per step instead of two (ops/embedding.py)
+            "wv": fused_linear_table_init(
+                k_b, k_e, cfg.feature_size, cfg.embedding_size
+            ),
             "att_mlp": att_params,
             "att_out": T.init_dense(k_ao, att_layers[-1], 1),
             "out": T.init_dense(k_out, cfg.embedding_size, 1),
@@ -65,8 +71,7 @@ class AFM(CtrModel):
         b = ids.shape[0]
         num_pairs = cfg.field_size * (cfg.field_size - 1) // 2
 
-        y_linear = jnp.sum(lookup(params["linear"], ids) * vals, axis=1)
-        emb = lookup(params["emb"], ids) * vals[..., None]
+        y_linear, emb = fused_linear_lookup(params["wv"], ids, vals, lookup)
         pairs = I.pairwise_elementwise(emb)  # [B,P,K]
 
         # attention net runs per pair: flatten pairs into the batch axis
@@ -93,13 +98,10 @@ class AFM(CtrModel):
         return {"logits": logits, "prob": jax.nn.sigmoid(logits)}, {"att_mlp": att_state}
 
     def l2_loss(self, params: Params) -> jax.Array:
-        l2 = self.cfg.l2_reg
-        return l2 * 0.5 * jnp.sum(jnp.square(params["linear"])) + l2 * 0.5 * jnp.sum(
-            jnp.square(params["emb"])
-        )
+        # == l2 on the separate linear + embedding tables (fused [V,1+K])
+        return self.cfg.l2_reg * 0.5 * jnp.sum(jnp.square(params["wv"]))
 
     def param_spec(self):
         spec = super().param_spec()
-        spec["linear"] = MODEL_AXIS_SPEC_1D
-        spec["emb"] = MODEL_AXIS_SPEC
+        spec["wv"] = MODEL_AXIS_SPEC
         return spec

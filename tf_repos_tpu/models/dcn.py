@@ -72,6 +72,7 @@ class DCN(CtrModel):
             rng=rng,
             batch_norm=cfg.batch_norm,
             bn_decay=cfg.batch_norm_decay,
+            compute_dtype=cfg.tower_dtype,
         )
         stack = jnp.concatenate([xl, h], axis=1)
         logits = T.dense(params["out"], stack)[:, 0]

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
     MODEL_AXIS_SPEC,
-    MODEL_AXIS_SPEC_1D,
     REPLICATED,
     Batch,
     CtrModel,
@@ -27,7 +26,11 @@ from tf_repos_tpu.models.base import (
 )
 from tf_repos_tpu.ops import interactions as I
 from tf_repos_tpu.ops import towers as T
-from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init
+from tf_repos_tpu.ops.embedding import (
+    dense_lookup,
+    fused_linear_lookup,
+    fused_linear_table_init,
+)
 
 
 class DeepFM(CtrModel):
@@ -45,8 +48,11 @@ class DeepFM(CtrModel):
         )
         params = {
             "fm_b": jnp.zeros((1,), jnp.float32),
-            "fm_w": glorot_normal_init(k_w, (cfg.feature_size,)),
-            "fm_v": glorot_normal_init(k_v, (cfg.feature_size, cfg.embedding_size)),
+            # FM_W and FM_V fused into one [V, 1+K] table — one gather /
+            # scatter per step instead of two (ops/embedding.py)
+            "fm_wv": fused_linear_table_init(
+                k_w, k_v, cfg.feature_size, cfg.embedding_size
+            ),
             "mlp": mlp_params,
             "out": T.init_dense(k_out, layers[-1], 1),
         }
@@ -66,8 +72,7 @@ class DeepFM(CtrModel):
         ids = batch["feat_ids"].reshape(-1, cfg.field_size)
         vals = batch["feat_vals"].reshape(-1, cfg.field_size)
 
-        y_w = jnp.sum(lookup(params["fm_w"], ids) * vals, axis=1)
-        emb = lookup(params["fm_v"], ids) * vals[..., None]  # [B,F,K]
+        y_w, emb = fused_linear_lookup(params["fm_wv"], ids, vals, lookup)
         y_v = I.fm_second_order(emb)
 
         deep_in = emb.reshape(emb.shape[0], -1)
@@ -80,6 +85,7 @@ class DeepFM(CtrModel):
             rng=rng,
             batch_norm=cfg.batch_norm,
             bn_decay=cfg.batch_norm_decay,
+            compute_dtype=cfg.tower_dtype,
         )
         y_d = T.dense(params["out"], h)[:, 0]
 
@@ -87,13 +93,10 @@ class DeepFM(CtrModel):
         return {"logits": logits, "prob": jax.nn.sigmoid(logits)}, {"mlp": mlp_state}
 
     def l2_loss(self, params: Params) -> jax.Array:
-        l2 = self.cfg.l2_reg
-        return l2 * 0.5 * jnp.sum(jnp.square(params["fm_w"])) + l2 * 0.5 * jnp.sum(
-            jnp.square(params["fm_v"])
-        )
+        # == l2*l2_loss(FM_W) + l2*l2_loss(FM_V) on the fused table
+        return self.cfg.l2_reg * 0.5 * jnp.sum(jnp.square(params["fm_wv"]))
 
     def param_spec(self):
         spec = super().param_spec()
-        spec["fm_w"] = MODEL_AXIS_SPEC_1D
-        spec["fm_v"] = MODEL_AXIS_SPEC
+        spec["fm_wv"] = MODEL_AXIS_SPEC
         return spec

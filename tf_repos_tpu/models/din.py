@@ -96,6 +96,7 @@ class DIN(CtrModel):
             rng=rng,
             batch_norm=self.cfg.batch_norm,
             bn_decay=self.cfg.batch_norm_decay,
+            compute_dtype=self.cfg.tower_dtype,
         )
         att_wgt = jax.nn.sigmoid(T.dense(params["att_out"], h)).reshape(b, p, 1)
         pooled = jnp.sum(dense_emb * att_wgt * mask[..., None], axis=1)  # [B,K]
@@ -170,6 +171,7 @@ class DIN(CtrModel):
             rng=mlp_rng,
             batch_norm=cfg.batch_norm,
             bn_decay=cfg.batch_norm_decay,
+            compute_dtype=cfg.tower_dtype,
         )
         logits = T.dense(params["out"], h)[:, 0]
         return {"logits": logits, "prob": jax.nn.sigmoid(logits)}, new_state

@@ -96,12 +96,14 @@ class ESMM(CtrModel):
             params["cvr_mlp"], state["cvr_mlp"], x,
             keep_probs=cfg.dropout_list, train=train, rng=k_cvr,
             batch_norm=cfg.batch_norm, bn_decay=cfg.batch_norm_decay,
+            compute_dtype=cfg.tower_dtype,
         )
         y_cvr = T.dense(params["cvr_out"], x_cvr)[:, 0]
         x_ctr, new_state["ctr_mlp"] = T.apply_mlp(
             params["ctr_mlp"], state["ctr_mlp"], x,
             keep_probs=cfg.dropout_list, train=train, rng=k_ctr,
             batch_norm=cfg.batch_norm, bn_decay=cfg.batch_norm_decay,
+            compute_dtype=cfg.tower_dtype,
         )
         y_ctr = T.dense(params["ctr_out"], x_ctr)[:, 0]
 

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
     MODEL_AXIS_SPEC,
-    MODEL_AXIS_SPEC_1D,
     Batch,
     CtrModel,
     Outputs,
@@ -25,7 +24,11 @@ from tf_repos_tpu.models.base import (
 )
 from tf_repos_tpu.ops import interactions as I
 from tf_repos_tpu.ops import towers as T
-from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init
+from tf_repos_tpu.ops.embedding import (
+    dense_lookup,
+    fused_linear_lookup,
+    fused_linear_table_init,
+)
 
 
 class NFM(CtrModel):
@@ -40,8 +43,11 @@ class NFM(CtrModel):
         )
         params = {
             "bias": jnp.zeros((1,), jnp.float32),
-            "linear": glorot_normal_init(k_b, (cfg.feature_size,)),
-            "emb": glorot_normal_init(k_e, (cfg.feature_size, cfg.embedding_size)),
+            # linear + embedding fused into one [V, 1+K] table: one
+            # gather/scatter per step instead of two (ops/embedding.py)
+            "wv": fused_linear_table_init(
+                k_b, k_e, cfg.feature_size, cfg.embedding_size
+            ),
             "mlp": mlp_params,
             "out": T.init_dense(k_out, layers[-1], 1),
         }
@@ -61,8 +67,7 @@ class NFM(CtrModel):
         ids = batch["feat_ids"].reshape(-1, cfg.field_size)
         vals = batch["feat_vals"].reshape(-1, cfg.field_size)
 
-        y_linear = jnp.sum(lookup(params["linear"], ids) * vals, axis=1)
-        emb = lookup(params["emb"], ids) * vals[..., None]
+        y_linear, emb = fused_linear_lookup(params["wv"], ids, vals, lookup)
         deep_in = I.bi_interaction(emb)  # [B,K]
 
         pre_rng = mlp_rng = None
@@ -79,19 +84,17 @@ class NFM(CtrModel):
             rng=mlp_rng,
             batch_norm=cfg.batch_norm,
             bn_decay=cfg.batch_norm_decay,
+            compute_dtype=cfg.tower_dtype,
         )
         y_d = T.dense(params["out"], h)[:, 0]
         logits = params["bias"][0] + y_linear + y_d
         return {"logits": logits, "prob": jax.nn.sigmoid(logits)}, {"mlp": mlp_state}
 
     def l2_loss(self, params: Params) -> jax.Array:
-        l2 = self.cfg.l2_reg
-        return l2 * 0.5 * jnp.sum(jnp.square(params["linear"])) + l2 * 0.5 * jnp.sum(
-            jnp.square(params["emb"])
-        )
+        # == l2 on the separate linear + embedding tables (fused [V,1+K])
+        return self.cfg.l2_reg * 0.5 * jnp.sum(jnp.square(params["wv"]))
 
     def param_spec(self):
         spec = super().param_spec()
-        spec["linear"] = MODEL_AXIS_SPEC_1D
-        spec["emb"] = MODEL_AXIS_SPEC
+        spec["wv"] = MODEL_AXIS_SPEC
         return spec

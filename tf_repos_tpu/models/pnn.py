@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
     MODEL_AXIS_SPEC,
-    MODEL_AXIS_SPEC_1D,
     Batch,
     CtrModel,
     Outputs,
@@ -27,7 +26,11 @@ from tf_repos_tpu.models.base import (
 )
 from tf_repos_tpu.ops import interactions as I
 from tf_repos_tpu.ops import towers as T
-from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init
+from tf_repos_tpu.ops.embedding import (
+    dense_lookup,
+    fused_linear_lookup,
+    fused_linear_table_init,
+)
 
 
 class PNN(CtrModel):
@@ -58,8 +61,11 @@ class PNN(CtrModel):
         )
         params = {
             "bias": jnp.zeros((1,), jnp.float32),
-            "linear": glorot_normal_init(k_b, (cfg.feature_size,)),
-            "emb": glorot_normal_init(k_e, (cfg.feature_size, cfg.embedding_size)),
+            # linear + embedding fused into one [V, 1+K] table: one
+            # gather/scatter per step instead of two (ops/embedding.py)
+            "wv": fused_linear_table_init(
+                k_b, k_e, cfg.feature_size, cfg.embedding_size
+            ),
             "mlp": mlp_params,
             "out": T.init_dense(k_out, layers[-1], 1),
         }
@@ -79,8 +85,7 @@ class PNN(CtrModel):
         ids = batch["feat_ids"].reshape(-1, cfg.field_size)
         vals = batch["feat_vals"].reshape(-1, cfg.field_size)
 
-        y_linear = jnp.sum(lookup(params["linear"], ids) * vals, axis=1)
-        emb = lookup(params["emb"], ids) * vals[..., None]  # [B,F,K]
+        y_linear, emb = fused_linear_lookup(params["wv"], ids, vals, lookup)
         flat = emb.reshape(emb.shape[0], -1)
 
         if self.model_type == "FNN":
@@ -99,6 +104,7 @@ class PNN(CtrModel):
             rng=rng,
             batch_norm=cfg.batch_norm,
             bn_decay=cfg.batch_norm_decay,
+            compute_dtype=cfg.tower_dtype,
         )
         y_d = T.dense(params["out"], h)[:, 0]
         logits = params["bias"][0] + y_linear + y_d
@@ -106,13 +112,10 @@ class PNN(CtrModel):
 
     def l2_loss(self, params: Params) -> jax.Array:
         """PNN.py:214-216: l2 on Feat_Bias and Feat_Emb."""
-        l2 = self.cfg.l2_reg
-        return l2 * 0.5 * jnp.sum(jnp.square(params["linear"])) + l2 * 0.5 * jnp.sum(
-            jnp.square(params["emb"])
-        )
+        # == l2 on the separate linear + embedding tables (fused [V,1+K])
+        return self.cfg.l2_reg * 0.5 * jnp.sum(jnp.square(params["wv"]))
 
     def param_spec(self):
         spec = super().param_spec()
-        spec["linear"] = MODEL_AXIS_SPEC_1D
-        spec["emb"] = MODEL_AXIS_SPEC
+        spec["wv"] = MODEL_AXIS_SPEC
         return spec

@@ -108,14 +108,21 @@ def apply_mlp(
     rng: Optional[jax.Array],
     batch_norm: bool = False,
     bn_decay: float = 0.9,
+    compute_dtype=None,
 ) -> Tuple[jax.Array, State]:
+    """compute_dtype: optional lower precision (bfloat16) for the GEMMs —
+    the MXU-native choice on TPU. Params stay f32 (mixed precision); BN
+    statistics and the returned activations are f32. None = pure f32."""
     new_state: State = {"layers": []}
     n = len(params["layers"])
     drop_keys: List[Optional[jax.Array]] = [None] * n
     if train and rng is not None:
         drop_keys = list(jax.random.split(rng, n))
+    cast = (lambda a: a.astype(compute_dtype)) if compute_dtype is not None else (lambda a: a)
     for i, lp in enumerate(params["layers"]):
-        x = jax.nn.relu(dense(lp["dense"], x))
+        lpd = lp["dense"]
+        h = jnp.dot(cast(x), cast(lpd["w"]), preferred_element_type=jnp.float32)
+        x = jax.nn.relu(h + lpd["b"])
         ls: State = {}
         if batch_norm:
             x, ls["bn"] = apply_bn(
