@@ -93,6 +93,44 @@ def synthetic_aliccp_batch(
     return out
 
 
+def write_synthetic_csv(path: str, num_samples: int, cat_buckets: int = 100, seed: int = 0) -> None:
+    """Criteo CSV layout for the wide_n_deep path: label,I1..I13,C14..C39
+    (wide_n_deep.py:55-64 uses categorical-identity buckets)."""
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for _ in range(num_samples):
+            label = int(rng.random() < 0.5)
+            ints = [f"{rng.random():.4f}" for _ in range(13)]
+            cats = [str(int(rng.integers(0, cat_buckets))) for _ in range(26)]
+            f.write(",".join([str(label)] + ints + cats) + "\n")
+
+
+def write_synthetic_aliccp(
+    path: str,
+    num_samples: int,
+    feature_size: int = 5000,
+    multi_hot: int = 4,
+    seed: int = 0,
+) -> None:
+    """Ali-CCP joined/remapped sample lines (features/aliccp.py output
+    format): ``sample_id,y,z,field:fid:val ...`` consumed by
+    data/ragged.AliccpDataset."""
+    rng = np.random.default_rng(seed)
+    common_fields = ["101", "121", "122", "124", "125", "126", "127", "128", "129", "205", "301"]
+    hi = max(feature_size - 1, 21)
+    with open(path, "w") as f:
+        for i in range(num_samples):
+            y = int(rng.random() < 0.5)
+            z = int(y and rng.random() < 0.3)
+            feats = [f"{c}:{int(rng.integers(20, hi))}:1.0" for c in common_fields]
+            for mh in ("109_14", "110_14", "127_14", "150_14", "210"):
+                for _ in range(int(rng.integers(1, multi_hot + 1))):
+                    feats.append(f"{mh}:{int(rng.integers(20, hi))}:1.0")
+            for ad in ("206", "207", "216"):
+                feats.append(f"{ad}:{int(rng.integers(20, hi))}:1.0")
+            f.write(f"s{i},{y},{z},{' '.join(feats)}\n")
+
+
 def write_synthetic_libsvm(
     path: str,
     num_samples: int,

@@ -24,9 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tf_repos_tpu.config import Config, echo_config
+from tf_repos_tpu.data.csv import CsvDataset
 from tf_repos_tpu.data.libsvm import LibsvmDataset, glob_input_files
 from tf_repos_tpu.data.pipeline import Prefetcher
-from tf_repos_tpu.models import create_model
+from tf_repos_tpu.data.ragged import AliccpDataset
+from tf_repos_tpu.models import create_model, input_format
 from tf_repos_tpu.models.base import CtrModel
 from tf_repos_tpu.train import loop as L
 from tf_repos_tpu.train.checkpoint import CheckpointManager, clear_existing_model
@@ -59,20 +61,33 @@ class Harness:
         return ts
 
     # ------------------------------------------------------------- datasets
-    def _dataset(self, pattern: str, *, shuffle: bool, epochs: int) -> Iterable:
+    def _dataset(self, split: str, *, shuffle: bool, epochs: int) -> Iterable:
+        """split in {tr, va, te}; the reader is chosen by the model's
+        input format: libsvm (DeepFM family), csv (wide_n_deep,
+        wide_n_deep.py:67-89), aliccp sample lines (DIN/ESMM — the
+        static-shape replacement for the reference's VarLen TFRecords,
+        DIN.py:57-99)."""
         cfg = self.cfg
+        fmt = input_format(self.model)
+        pattern = {"libsvm": f"{split}*libsvm", "csv": f"{split}*csv", "aliccp": f"{split}*"}[fmt]
         files = glob_input_files(cfg.data_dir, pattern, shuffle=shuffle, seed=cfg.seed)
+        if fmt == "aliccp":
+            files = [f for f in files if not f.endswith((".libsvm", ".csv"))]
         if not files:
             raise FileNotFoundError(f"no input files match {cfg.data_dir}/{pattern}")
-        ds = LibsvmDataset(
-            files,
-            field_size=cfg.field_size,
+        common = dict(
             batch_size=cfg.batch_size,
             num_epochs=epochs,
             perform_shuffle=shuffle,
             shuffle_buffer=cfg.shuffle_buffer,
             seed=cfg.seed,
         )
+        if fmt == "csv":
+            ds: Iterable = CsvDataset(files, **common)
+        elif fmt == "aliccp":
+            ds = AliccpDataset(files, multi_hot_pad=cfg.multi_hot_pad, **common)
+        else:
+            ds = LibsvmDataset(files, field_size=cfg.field_size, **common)
         return Prefetcher(ds, size=cfg.prefetch_batches)
 
     # ----------------------------------------------------------------- train
@@ -94,7 +109,7 @@ class Harness:
         metrics: Dict[str, float] = {}
         params, opt_state, mstate = ts["params"], ts["opt_state"], ts["mstate"]
 
-        for batch in self._dataset("tr*libsvm", shuffle=True, epochs=cfg.num_epochs):
+        for batch in self._dataset("tr", shuffle=True, epochs=cfg.num_epochs):
             rng, sub = jax.random.split(rng)
             params, opt_state, mstate, loss = train_step(
                 params, opt_state, mstate, batch, sub
@@ -137,7 +152,7 @@ class Harness:
     def _run_eval(self, params, mstate) -> Dict[str, float]:
         eval_step = self._eval_step or L.build_eval_step(self.model)
         acc = L.init_eval_acc(self.model)
-        for batch in self._dataset("va*libsvm", shuffle=False, epochs=1):
+        for batch in self._dataset("va", shuffle=False, epochs=1):
             acc = eval_step(params, mstate, acc, batch)
         res = L.finalize_eval(acc)
         print("INFO: eval:", " ".join(f"{k} = {v:.6f}" for k, v in res.items()))
@@ -160,7 +175,7 @@ class Harness:
         out_path = out_path or os.path.join(cfg.data_dir, "pred.txt")
         key = self.model.prediction_keys[0]
         with open(out_path, "w") as f:
-            for batch in self._dataset("te*libsvm", shuffle=False, epochs=1):
+            for batch in self._dataset("te", shuffle=False, epochs=1):
                 preds = np.asarray(predict_step(ts["params"], ts["mstate"], batch)[key])
                 for p, m in zip(preds, batch["mask"]):
                     if m > 0:
