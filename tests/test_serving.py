@@ -1,0 +1,145 @@
+"""Serving tests: export -> scorer buckets -> hot reload -> HTTP server
+micro-batching -> C++ client end-to-end (SURVEY §2.4 parity)."""
+
+import json
+import os
+import shutil
+import subprocess
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tf_repos_tpu.config import Config
+from tf_repos_tpu.data.synthetic import write_synthetic_libsvm
+from tf_repos_tpu.serve.scorer import Scorer
+from tf_repos_tpu.serve.server import MicroBatcher, PredictionServer
+from tf_repos_tpu.train.harness import Harness, run_task
+
+CPP_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tf_repos_tpu", "serve", "cpp",
+)
+
+
+@pytest.fixture(scope="module")
+def servable(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serving")
+    data = tmp / "data"
+    data.mkdir()
+    write_synthetic_libsvm(str(data / "tr.libsvm"), 96, feature_size=300, seed=0)
+    write_synthetic_libsvm(str(data / "va.libsvm"), 48, feature_size=300, seed=1)
+    cfg = Config(
+        model="DeepFM", feature_size=300, field_size=39, embedding_size=4,
+        deep_layers="8,4", dropout="1.0,1.0", batch_size=32, num_epochs=1,
+        log_steps=5, data_dir=str(data), model_dir=str(tmp / "model"),
+        dt_dir="20260101", eval_throttle_secs=0,
+        servable_model_dir=str(tmp / "servable"),
+    )
+    run_task(cfg)
+    run_task(cfg.replace(task_type="export"))
+    return cfg
+
+
+def _instances(cfg, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        {
+            "feat_ids": rng.integers(1, cfg.feature_size, size=(cfg.field_size,)).astype(np.int32),
+            "feat_vals": np.ones((cfg.field_size,), np.float32),
+        }
+        for _ in range(n)
+    ]
+
+
+def test_scorer_buckets_and_padding(servable):
+    s = Scorer(servable.servable_model_dir, batch_buckets=(1, 8, 64), warmup=False)
+    for n in (1, 3, 8, 20, 64, 100):
+        out = s.score(_instances(servable, n))
+        assert out["prob"].shape == (n,)
+        assert np.all((out["prob"] >= 0) & (out["prob"] <= 1))
+    # padding must not affect real rows: same instance alone vs in a batch
+    one = s.score(_instances(servable, 1, seed=7))["prob"]
+    many = s.score(_instances(servable, 1, seed=7) + _instances(servable, 5))["prob"]
+    np.testing.assert_allclose(one[0], many[0], rtol=1e-6)
+
+
+def test_scorer_hot_reload(servable):
+    s = Scorer(servable.servable_model_dir, batch_buckets=(8,), warmup=False)
+    assert not s.maybe_reload()
+    v0 = s.version
+    time.sleep(1.1)  # version dirs are unix-timestamp named
+    h = Harness(servable.replace(task_type="export"))
+    h.export()
+    assert s.maybe_reload()
+    assert s.version != v0
+    assert s.score(_instances(servable, 2))["prob"].shape == (2,)
+
+
+def test_micro_batcher_coalesces(servable):
+    s = Scorer(servable.servable_model_dir, batch_buckets=(64,), warmup=False)
+    mb = MicroBatcher(s, max_batch=64, max_wait_ms=20)
+    results = {}
+
+    def call(i):
+        results[i] = mb.submit(_instances(servable, 2, seed=i))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.stop()
+    for i in range(8):
+        assert results[i]["prob"].shape == (2,)
+
+
+@pytest.fixture(scope="module")
+def server(servable):
+    srv = PredictionServer(servable.servable_model_dir, port=0, reload_secs=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_http_predict_roundtrip(servable, server):
+    inst = [
+        {
+            "feat_ids": [int(x) for x in i["feat_ids"]],
+            "feat_vals": [float(x) for x in i["feat_vals"]],
+        }
+        for i in _instances(servable, 3)
+    ]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/models/DeepFM:predict",
+        data=json.dumps({"instances": inst}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = json.loads(urllib.request.urlopen(req, timeout=30).read())
+    assert len(resp["predictions"]) == 3
+    assert all(0.0 <= p <= 1.0 for p in resp["predictions"])
+    status = json.loads(
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/v1/models/DeepFM", timeout=10
+        ).read()
+    )
+    assert status["model_version_status"][0]["state"] == "AVAILABLE"
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_cpp_client_end_to_end(servable, server, tmp_path):
+    build = tmp_path / "cppbuild"
+    shutil.copytree(CPP_DIR, build)
+    subprocess.run(["make", "-s"], cwd=build, check=True, timeout=120)
+    out = subprocess.run(
+        [str(build / "ctr_client"), "127.0.0.1", str(server.port), "DeepFM", "39"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "AVAILABLE" in out.stdout
+    pline = [l for l in out.stdout.splitlines() if l.startswith("pctr = ")]
+    assert len(pline) == 1
+    p = float(pline[0].split("=")[1])
+    assert 0.0 <= p <= 1.0

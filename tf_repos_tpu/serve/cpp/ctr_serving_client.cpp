@@ -1,0 +1,218 @@
+// See ctr_serving_client.h. Plain POSIX-socket HTTP/1.1 + minimal JSON —
+// the request/response handling the reference does through grpc/protobuf
+// (deep_fm_serving_client.cpp:27-106) without those dependencies.
+
+#include "ctr_serving_client.h"
+
+#include <arpa/inet.h>
+#include <netdb.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <cstring>
+#include <sstream>
+
+namespace tpu_ctr {
+
+std::unique_ptr<ServingClient> ServingClient::Create(const std::string& host,
+                                                     int port) {
+  return std::unique_ptr<ServingClient>(new ServingClient(host, port));
+}
+
+ServingClient::ServingClient(const std::string& host, int port)
+    : host_(host), port_(port) {}
+
+ServingClient::~ServingClient() = default;
+
+namespace {
+
+int Connect(const std::string& host, int port, std::string* err) {
+  struct addrinfo hints, *res = nullptr;
+  std::memset(&hints, 0, sizeof(hints));
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_STREAM;
+  const std::string port_str = std::to_string(port);
+  int rc = getaddrinfo(host.c_str(), port_str.c_str(), &hints, &res);
+  if (rc != 0) {
+    *err = std::string("getaddrinfo: ") + gai_strerror(rc);
+    return -1;
+  }
+  int fd = -1;
+  for (struct addrinfo* p = res; p != nullptr; p = p->ai_next) {
+    fd = socket(p->ai_family, p->ai_socktype, p->ai_protocol);
+    if (fd < 0) continue;
+    if (connect(fd, p->ai_addr, p->ai_addrlen) == 0) break;
+    close(fd);
+    fd = -1;
+  }
+  freeaddrinfo(res);
+  if (fd < 0) *err = "connect failed to " + host + ":" + port_str;
+  return fd;
+}
+
+bool SendAll(int fd, const std::string& data) {
+  size_t off = 0;
+  while (off < data.size()) {
+    ssize_t n = send(fd, data.data() + off, data.size() - off, 0);
+    if (n <= 0) return false;
+    off += static_cast<size_t>(n);
+  }
+  return true;
+}
+
+template <typename T>
+void AppendMatrix(std::ostringstream& os,
+                  const std::vector<std::vector<T>>& m) {
+  os << "[";
+  for (size_t i = 0; i < m.size(); ++i) {
+    if (i) os << ",";
+    os << "[";
+    for (size_t j = 0; j < m[i].size(); ++j) {
+      if (j) os << ",";
+      os << m[i][j];
+    }
+    os << "]";
+  }
+  os << "]";
+}
+
+}  // namespace
+
+std::string ServingClient::httpRequest(const std::string& method,
+                                       const std::string& path,
+                                       const std::string& body) {
+  last_error_.clear();
+  int fd = Connect(host_, port_, &last_error_);
+  if (fd < 0) return "";
+  std::ostringstream req;
+  req << method << " " << path << " HTTP/1.1\r\n"
+      << "Host: " << host_ << "\r\n"
+      << "Content-Type: application/json\r\n"
+      << "Content-Length: " << body.size() << "\r\n"
+      << "Connection: close\r\n\r\n"
+      << body;
+  if (!SendAll(fd, req.str())) {
+    last_error_ = "send failed";
+    close(fd);
+    return "";
+  }
+  std::string resp;
+  char buf[4096];
+  ssize_t n;
+  while ((n = recv(fd, buf, sizeof(buf), 0)) > 0) resp.append(buf, n);
+  close(fd);
+  size_t header_end = resp.find("\r\n\r\n");
+  if (header_end == std::string::npos) {
+    last_error_ = "malformed HTTP response";
+    return "";
+  }
+  if (resp.compare(0, 12, "HTTP/1.1 200") != 0 &&
+      resp.compare(0, 12, "HTTP/1.0 200") != 0) {
+    last_error_ = "HTTP error: " + resp.substr(0, resp.find("\r\n"));
+    return "";
+  }
+  return resp.substr(header_end + 4);
+}
+
+std::vector<double> ServingClient::parsePredictions(
+    const std::string& json_body) {
+  // Extracts the "predictions" array of numbers (or of objects, in which
+  // case the first numeric field of each object is taken).
+  std::vector<double> out;
+  size_t pos = json_body.find("\"predictions\"");
+  if (pos == std::string::npos) {
+    last_error_ = "no predictions in response: " + json_body;
+    return out;
+  }
+  pos = json_body.find('[', pos);
+  if (pos == std::string::npos) return out;
+  int depth = 0;
+  bool in_obj = false;
+  bool got_obj_value = false;
+  std::string num;
+  auto flush = [&]() {
+    if (!num.empty()) {
+      out.push_back(std::stod(num));
+      num.clear();
+    }
+  };
+  for (size_t i = pos; i < json_body.size(); ++i) {
+    char c = json_body[i];
+    if (c == '[') {
+      ++depth;
+    } else if (c == ']') {
+      if (!in_obj) flush();
+      if (--depth == 0) break;
+    } else if (c == '{') {
+      in_obj = true;
+      got_obj_value = false;
+    } else if (c == '}') {
+      in_obj = false;
+    } else if (in_obj && c == ':') {
+      // take only the FIRST value in each object
+      size_t j = i + 1;
+      while (j < json_body.size() &&
+             (std::isspace(json_body[j]) != 0)) ++j;
+      if (!got_obj_value) {
+        std::string v;
+        while (j < json_body.size() &&
+               (std::isdigit(json_body[j]) || json_body[j] == '.' ||
+                json_body[j] == '-' || json_body[j] == 'e' ||
+                json_body[j] == 'E' || json_body[j] == '+')) {
+          v += json_body[j++];
+        }
+        if (!v.empty()) {
+          out.push_back(std::stod(v));
+          got_obj_value = true;
+        }
+      }
+      i = j - 1;
+    } else if (!in_obj && depth == 1) {
+      if (std::isdigit(c) || c == '.' || c == '-' || c == 'e' || c == 'E' ||
+          c == '+') {
+        num += c;
+      } else if (c == ',') {
+        flush();
+      }
+    }
+  }
+  return out;
+}
+
+std::vector<double> ServingClient::callPredict(
+    const std::string& model_name,
+    const std::vector<std::vector<long long>>& feat_ids,
+    const std::vector<std::vector<double>>& feat_vals) {
+  std::ostringstream body;
+  body << "{\"inputs\":{\"feat_ids\":";
+  AppendMatrix(body, feat_ids);
+  body << ",\"feat_vals\":";
+  AppendMatrix(body, feat_vals);
+  body << "}}";
+  std::string resp = httpRequest(
+      "POST", "/v1/models/" + model_name + ":predict", body.str());
+  if (resp.empty()) return {};
+  return parsePredictions(resp);
+}
+
+std::vector<double> ServingClient::callPredictExample(
+    const std::string& model_name,
+    const std::vector<std::vector<double>>& cont_features,
+    const std::vector<std::vector<long long>>& cat_features) {
+  std::ostringstream body;
+  body << "{\"inputs\":{\"cont\":";
+  AppendMatrix(body, cont_features);
+  body << ",\"cat\":";
+  AppendMatrix(body, cat_features);
+  body << "}}";
+  std::string resp = httpRequest(
+      "POST", "/v1/models/" + model_name + ":predict", body.str());
+  if (resp.empty()) return {};
+  return parsePredictions(resp);
+}
+
+std::string ServingClient::getModelStatus(const std::string& model_name) {
+  return httpRequest("GET", "/v1/models/" + model_name, "");
+}
+
+}  // namespace tpu_ctr

@@ -47,6 +47,38 @@ def _unflatten(tree_like: Any, flat: Dict[str, np.ndarray]) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _input_signature(model: CtrModel) -> Dict[str, Dict]:
+    """Raw-tensor input signature per input format — the analog of the
+    reference's raw serving receiver placeholders (DeepFM.py:361-365 for
+    libsvm; feature-column parsing spec for wide_n_deep:240-242)."""
+    from tf_repos_tpu.models import input_format
+
+    cfg = model.cfg
+    fmt = input_format(model)
+    if fmt == "csv":
+        return {
+            "cont": {"dtype": "float32", "shape": [None, 13]},
+            "cat": {"dtype": "int32", "shape": [None, 26]},
+        }
+    if fmt == "aliccp":
+        p = cfg.multi_hot_pad
+        sig: Dict[str, Dict] = {
+            "feat_ids": {"dtype": "int32", "shape": [None, cfg.field_size]},
+            "a_catids": {"dtype": "int32", "shape": [None]},
+            "a_shopids": {"dtype": "int32", "shape": [None]},
+            "a_brandids": {"dtype": "int32", "shape": [None]},
+            "a_intids": {"dtype": "int32", "shape": [None, p]},
+        }
+        for f in ("u_cat", "u_shop", "u_brand", "u_int"):
+            sig[f"{f}ids"] = {"dtype": "int32", "shape": [None, p]}
+            sig[f"{f}vals"] = {"dtype": "float32", "shape": [None, p]}
+        return sig
+    return {
+        "feat_ids": {"dtype": "int32", "shape": [None, cfg.field_size]},
+        "feat_vals": {"dtype": "float32", "shape": [None, cfg.field_size]},
+    }
+
+
 def export_servable(
     servable_dir: str, model: CtrModel, params: Any, mstate: Any
 ) -> str:
@@ -58,10 +90,7 @@ def export_servable(
         "model": model.name,
         "model_class": type(model).__name__,
         "version": version,
-        "inputs": {
-            "feat_ids": {"dtype": "int64", "shape": [None, cfg.field_size]},
-            "feat_vals": {"dtype": "float32", "shape": [None, cfg.field_size]},
-        },
+        "inputs": _input_signature(model),
         "outputs": list(model.prediction_keys),
         "config": dataclasses.asdict(cfg),
     }

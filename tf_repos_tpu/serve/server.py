@@ -1,0 +1,237 @@
+"""HTTP prediction server with request micro-batching.
+
+The online frontend replacing TF Serving (deep_ctr/README.md:57-76). The
+wire protocol is the TF-Serving REST API shape, so any client that spoke
+TF-Serving REST can switch with a URL change:
+
+  POST /v1/models/<name>:predict   {"instances": [ {input: value, ...} ]}
+      -> {"predictions": [...], "model_version": "<ts>"}
+  GET  /v1/models/<name>           model status + version
+  GET  /healthz                    liveness
+
+Performance design: the reference measured ~15 ms fixed overhead +
+~0.5 ms/example (deep_ctr/README.md:78-81), dominated by request handling.
+Here concurrent requests are coalesced by a micro-batcher (collect up to
+``max_batch`` instances or ``max_wait_ms``, score once, scatter replies) —
+the TPU sees large static-bucket batches while clients see low latency.
+Version hot-reload is polled every ``reload_secs`` (TF-Serving parity).
+
+Dependency-free by design (stdlib http.server + json): the C++ client
+(serve/cpp/) speaks plain HTTP/1.1 with no grpc/protobuf requirement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from tf_repos_tpu.serve.scorer import Scorer
+
+
+class _Pending:
+    __slots__ = ("instances", "event", "result", "error")
+
+    def __init__(self, instances):
+        self.instances = instances
+        self.event = threading.Event()
+        self.result: Optional[Dict[str, np.ndarray]] = None
+        self.error: Optional[str] = None
+
+
+class MicroBatcher:
+    """Coalesces concurrent predict requests into one scored batch."""
+
+    def __init__(self, scorer: Scorer, max_batch: int = 512, max_wait_ms: float = 2.0):
+        self.scorer = scorer
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def submit(self, instances: List[Dict[str, Any]], timeout: float = 30.0):
+        p = _Pending(instances)
+        self.q.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("scoring timed out")
+        if p.error:
+            raise RuntimeError(p.error)
+        return p.result
+
+    def stop(self):
+        self._stop.set()
+        self.thread.join(timeout=2)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            total = len(first.instances)
+            deadline = time.monotonic() + self.max_wait
+            while total < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                group.append(nxt)
+                total += len(nxt.instances)
+            flat = [inst for p in group for inst in p.instances]
+            try:
+                out = self.scorer.score(flat)
+                off = 0
+                for p in group:
+                    n = len(p.instances)
+                    p.result = {k: v[off : off + n] for k, v in out.items()}
+                    off += n
+            except Exception as e:  # propagate per-request
+                for p in group:
+                    p.error = f"{type(e).__name__}: {e}"
+            finally:
+                for p in group:
+                    p.event.set()
+
+
+class PredictionServer:
+    def __init__(
+        self,
+        servable_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 8501,
+        max_batch: int = 512,
+        max_wait_ms: float = 2.0,
+        reload_secs: float = 30.0,
+    ):
+        self.scorer = Scorer(servable_dir)
+        self.batcher = MicroBatcher(self.scorer, max_batch, max_wait_ms)
+        self.model_name = self.scorer.signature["model"]
+        self.reload_secs = reload_secs
+        self._stop = threading.Event()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: Dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, {"status": "ok"})
+                elif self.path.startswith("/v1/models/"):
+                    self._reply(
+                        200,
+                        {
+                            "model_version_status": [
+                                {
+                                    "version": outer.scorer.version,
+                                    "state": "AVAILABLE",
+                                    "model": outer.model_name,
+                                }
+                            ]
+                        },
+                    )
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                if not self.path.startswith("/v1/models/") or ":predict" not in self.path:
+                    self._reply(404, {"error": "not found"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(length))
+                    instances = req.get("instances")
+                    if instances is None and "inputs" in req:
+                        # columnar form: {"inputs": {k: [[...], ...]}}
+                        cols = req["inputs"]
+                        n = len(next(iter(cols.values())))
+                        instances = [
+                            {k: v[i] for k, v in cols.items()} for i in range(n)
+                        ]
+                    out = outer.batcher.submit(instances)
+                    preds = _predictions_payload(out)
+                    self._reply(
+                        200,
+                        {"predictions": preds, "model_version": outer.scorer.version},
+                    )
+                except Exception as e:
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._serve_thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._reload_thread = threading.Thread(target=self._reloader, daemon=True)
+
+    def _reloader(self):
+        while not self._stop.wait(self.reload_secs):
+            try:
+                if self.scorer.maybe_reload():
+                    print(f"INFO: reloaded servable version {self.scorer.version}")
+            except Exception as e:
+                print(f"WARN: reload failed: {e}")
+
+    def start(self):
+        self._serve_thread.start()
+        if self.reload_secs > 0:
+            self._reload_thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self.httpd.shutdown()
+        self.batcher.stop()
+
+    def serve_forever(self):
+        self.start()
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            self.stop()
+
+
+def _predictions_payload(out: Dict[str, np.ndarray]) -> List:
+    keys = list(out.keys())
+    n = len(out[keys[0]])
+    if len(keys) == 1:
+        return [float(x) for x in out[keys[0]]]
+    return [{k: float(out[k][i]) for k in keys} for i in range(n)]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--servable_model_dir", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8501)
+    p.add_argument("--max_batch", type=int, default=512)
+    p.add_argument("--max_wait_ms", type=float, default=2.0)
+    p.add_argument("--reload_secs", type=float, default=30.0)
+    a = p.parse_args(argv)
+    srv = PredictionServer(
+        a.servable_model_dir, a.host, a.port, a.max_batch, a.max_wait_ms, a.reload_secs
+    )
+    print(f"serving {srv.model_name} v{srv.scorer.version} on :{srv.port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
