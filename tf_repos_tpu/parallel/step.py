@@ -76,6 +76,20 @@ def pad_params_for_mesh(params: Any, spec: Any, n_model: int) -> Any:
     return jax.tree.map(pad, params, spec, is_leaf=lambda x: isinstance(x, P))
 
 
+def unpad_params_like(model: CtrModel, params: Any) -> Any:
+    """Trim the mesh-divisibility padding (pad_params_for_mesh) back to
+    the model's natural shapes — used when exporting a servable from a
+    sharded training run."""
+    ref_shapes, _ = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+    return jax.tree.map(
+        lambda p, r: p[tuple(slice(0, s) for s in r.shape)]
+        if tuple(p.shape) != tuple(r.shape)
+        else p,
+        params,
+        ref_shapes,
+    )
+
+
 def _spec_tree_like(params: Any, spec: Any) -> Any:
     """Normalize a param_spec pytree to one PartitionSpec per param leaf
     (param_spec may put one P at a subtree root, e.g. for a whole MLP)."""

@@ -41,13 +41,36 @@ class Harness:
         self.model = model or create_model(cfg)
         self.tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
         self.model_dir = cfg.resolved_model_dir() or "./model_ckpt"
+        self.mesh = self._make_mesh()
+        self._sharded = None
+        self._specs = None
+        if self.mesh is not None:
+            from tf_repos_tpu.parallel.step import ShardedState
+
+            self._sharded = ShardedState(self.model, self.tx, self.mesh)
         self._train_step = None
         self._eval_step = None
         self._predict_step = None
 
+    def _make_mesh(self):
+        """Mesh-sharded execution when >1 device is visible or the user
+        asks for table sharding (mesh_model>1); plain single-device jit
+        otherwise (no shard_map overhead on one chip)."""
+        cfg = self.cfg
+        n = len(jax.devices())
+        if n == 1 and cfg.mesh_model <= 1:
+            return None
+        from tf_repos_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(data=cfg.mesh_data, model=max(cfg.mesh_model, 1))
+
     # ---------------------------------------------------------- state init
     def init_train_state(self, rng: Optional[jax.Array] = None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        if self._sharded is not None:
+            state, self._specs = self._sharded.init(rng)
+            state["step"] = 0
+            return state
         params, mstate = self.model.init(rng)
         opt_state = self.tx.init(params)
         return {"params": params, "opt_state": opt_state, "mstate": mstate, "step": 0}
@@ -59,6 +82,59 @@ class Harness:
             if restored is not None:
                 return restored
         return ts
+
+    # --------------------------------------------------------- step builders
+    def _place(self, batch):
+        if self._sharded is not None:
+            return self._sharded.place_batch(batch)
+        return batch
+
+    def _get_train_step(self):
+        """Unified signature: (state_dict, placed_batch, rng) ->
+        (state_dict, loss)."""
+        if self._train_step is not None:
+            return self._train_step
+        if self.mesh is not None:
+            from tf_repos_tpu.parallel.step import build_sharded_train_step
+
+            self._train_step = build_sharded_train_step(
+                self.model, self.tx, self.mesh, self._specs
+            )
+        else:
+            inner = L.build_train_step(self.model, self.tx)
+
+            def step(state, batch, rng):
+                p, o, m, loss = inner(
+                    state["params"], state["opt_state"], state["mstate"], batch, rng
+                )
+                return {"params": p, "opt_state": o, "mstate": m}, loss
+
+            self._train_step = step
+        return self._train_step
+
+    def _get_eval_step(self):
+        if self._eval_step is not None:
+            return self._eval_step
+        if self.mesh is not None:
+            from tf_repos_tpu.parallel.step import build_sharded_eval_step
+
+            self._eval_step = build_sharded_eval_step(self.model, self.mesh, self._specs)
+        else:
+            self._eval_step = L.build_eval_step(self.model)
+        return self._eval_step
+
+    def _get_predict_step(self):
+        if self._predict_step is not None:
+            return self._predict_step
+        if self.mesh is not None:
+            from tf_repos_tpu.parallel.step import build_sharded_predict_step
+
+            self._predict_step = build_sharded_predict_step(
+                self.model, self.mesh, self._specs
+            )
+        else:
+            self._predict_step = L.build_predict_step(self.model)
+        return self._predict_step
 
     # ------------------------------------------------------------- datasets
     def _dataset(self, split: str, *, shuffle: bool, epochs: int) -> Iterable:
@@ -99,21 +175,19 @@ class Harness:
             save_interval_steps=cfg.save_checkpoints_steps,
         )
         ts = self.restore_or_init(ckpt)
-        step = int(ts["step"])
-        train_step = self._train_step or L.build_train_step(self.model, self.tx)
+        step = int(ts.pop("step", 0))
+        state = {k: ts[k] for k in ("params", "opt_state", "mstate")}
+        train_step = self._get_train_step()
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
         losses: List[float] = []
         t0 = time.time()
         last_log, last_eval = t0, t0
         metrics: Dict[str, float] = {}
-        params, opt_state, mstate = ts["params"], ts["opt_state"], ts["mstate"]
 
         for batch in self._dataset("tr", shuffle=True, epochs=cfg.num_epochs):
             rng, sub = jax.random.split(rng)
-            params, opt_state, mstate, loss = train_step(
-                params, opt_state, mstate, batch, sub
-            )
+            state, loss = train_step(state, self._place(batch), sub)
             step += 1
             losses.append(loss)
             if step % cfg.log_steps == 0:
@@ -127,17 +201,17 @@ class Harness:
                 last_log = now
                 losses = losses[-1:]
                 if cfg.save_checkpoints_steps:
-                    ckpt.save(step, {"params": params, "opt_state": opt_state, "mstate": mstate, "step": step})
+                    ckpt.save(step, dict(state, step=step))
             if (
                 cfg.eval_throttle_secs
                 and time.time() - last_eval > cfg.eval_throttle_secs
             ):
-                metrics = self._maybe_eval(params, mstate)
+                metrics = self._maybe_eval(state["params"], state["mstate"])
                 last_eval = time.time()
 
-        ckpt.save(step, {"params": params, "opt_state": opt_state, "mstate": mstate, "step": step}, force=True)
+        ckpt.save(step, dict(state, step=step), force=True)
         ckpt.close()
-        metrics = self._maybe_eval(params, mstate) or metrics
+        metrics = self._maybe_eval(state["params"], state["mstate"]) or metrics
         metrics["step"] = step
         metrics["wall_time"] = time.time() - t0
         return metrics
@@ -150,10 +224,10 @@ class Harness:
 
     # ------------------------------------------------------------------ eval
     def _run_eval(self, params, mstate) -> Dict[str, float]:
-        eval_step = self._eval_step or L.build_eval_step(self.model)
+        eval_step = self._get_eval_step()
         acc = L.init_eval_acc(self.model)
         for batch in self._dataset("va", shuffle=False, epochs=1):
-            acc = eval_step(params, mstate, acc, batch)
+            acc = eval_step(params, mstate, acc, self._place(batch))
         res = L.finalize_eval(acc)
         print("INFO: eval:", " ".join(f"{k} = {v:.6f}" for k, v in res.items()))
         return res
@@ -171,12 +245,14 @@ class Harness:
         ckpt = CheckpointManager(self.model_dir, keep=cfg.keep_checkpoint_max)
         ts = self.restore_or_init(ckpt)
         ckpt.close()
-        predict_step = self._predict_step or L.build_predict_step(self.model)
+        predict_step = self._get_predict_step()
         out_path = out_path or os.path.join(cfg.data_dir, "pred.txt")
         key = self.model.prediction_keys[0]
         with open(out_path, "w") as f:
             for batch in self._dataset("te", shuffle=False, epochs=1):
-                preds = np.asarray(predict_step(ts["params"], ts["mstate"], batch)[key])
+                preds = np.asarray(
+                    predict_step(ts["params"], ts["mstate"], self._place(batch))[key]
+                )
                 for p, m in zip(preds, batch["mask"]):
                     if m > 0:
                         f.write(f"{p:f}\n")
@@ -190,10 +266,15 @@ class Harness:
         ckpt = CheckpointManager(self.model_dir, keep=cfg.keep_checkpoint_max)
         ts = self.restore_or_init(ckpt)
         ckpt.close()
+        params = ts["params"]
+        if self._sharded is not None:
+            from tf_repos_tpu.parallel.step import unpad_params_like
+
+            params = unpad_params_like(self.model, params)
         return export_servable(
             cfg.servable_model_dir or os.path.join(self.model_dir, "servable"),
             self.model,
-            ts["params"],
+            params,
             ts["mstate"],
         )
 
