@@ -1,0 +1,123 @@
+"""True multi-process distributed training test — the analog of the
+reference's localhost cluster simulation (run_dist.sh spawns 1 ps + 3
+workers on localhost; SURVEY.md §4 item 3).
+
+Spawns 2 OS processes, each with 2 virtual CPU devices, wired by
+jax.distributed into one 4-device mesh (data=2 × model=2); each runs the
+SAME SPMD train step (no ps/worker roles). Asserts both processes compute
+identical losses and that the run matches a single-process 4-device run.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+    assert jax.device_count() == 4, jax.device_count()
+
+    import numpy as np
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.synthetic import synthetic_criteo_batch
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.parallel import step as S
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    cfg = Config(model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
+                 deep_layers="8,4", dropout="1.0,1.0", batch_size=32,
+                 optimizer="GD", learning_rate=0.1, l2_reg=0.001)
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    mesh = make_mesh(data=2, model=2)
+    ss = S.ShardedState(model, tx, mesh)
+    state, specs = ss.init(jax.random.PRNGKey(cfg.seed))
+    train = S.build_sharded_train_step(model, tx, mesh, specs)
+
+    losses = []
+    for i in range(3):
+        full = synthetic_criteo_batch(np.random.default_rng(i), cfg.batch_size, cfg.feature_size)
+        # this host's slice of the global batch (data axis is 2-way over hosts)
+        lo = pid * (cfg.batch_size // 2); hi = lo + cfg.batch_size // 2
+        local = {k: v[lo:hi] for k, v in full.items()}
+        state, loss = train(state, ss.place_batch(local), jax.random.PRNGKey(100 + i))
+        losses.append(float(loss))
+    print("LOSSES", json.dumps(losses))
+    """
+)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_training_matches_single(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=500)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    losses = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("LOSSES")][0]
+        losses.append(json.loads(line[len("LOSSES "):]))
+    # both processes observe the identical (psum'd) global loss
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+    # and it matches the same schedule on a single-process 4-device mesh
+    import jax
+
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.synthetic import synthetic_criteo_batch
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.parallel import step as S
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    cfg = Config(model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
+                 deep_layers="8,4", dropout="1.0,1.0", batch_size=32,
+                 optimizer="GD", learning_rate=0.1, l2_reg=0.001)
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    ss = S.ShardedState(model, tx, mesh)
+    state, specs = ss.init(jax.random.PRNGKey(cfg.seed))
+    train = S.build_sharded_train_step(model, tx, mesh, specs)
+    ref = []
+    for i in range(3):
+        batch = synthetic_criteo_batch(np.random.default_rng(i), cfg.batch_size, cfg.feature_size)
+        state, loss = train(state, ss.place_batch(batch), jax.random.PRNGKey(100 + i))
+        ref.append(float(loss))
+    np.testing.assert_allclose(ref, losses[0], rtol=1e-5)

@@ -52,5 +52,11 @@ class Prefetcher(Iterable[T]):
 def shard_files_for_host(
     files: Sequence[str], process_index: int, process_count: int
 ) -> List[str]:
-    """Round-robin file split across hosts (multi-host input sharding)."""
+    """Round-robin file split across hosts (multi-host input sharding).
+
+    With fewer files than hosts every host reads everything (duplicate
+    epochs, like the reference's async workers racing one file list) —
+    shard your data into >= num_hosts files for a true split."""
+    if len(files) < process_count:
+        return list(files)
     return [f for i, f in enumerate(files) if i % process_count == process_index]

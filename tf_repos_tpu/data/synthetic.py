@@ -93,6 +93,47 @@ def synthetic_aliccp_batch(
     return out
 
 
+def main(argv=None):
+    """CLI: generate synthetic tr/va/te files for smoke runs.
+
+    python -m tf_repos_tpu.data.synthetic --out_dir d --format libsvm
+    """
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--format", default="libsvm", choices=["libsvm", "csv", "aliccp"])
+    p.add_argument("--feature_size", type=int, default=117_581)
+    p.add_argument("--train", type=int, default=2000)
+    p.add_argument("--valid", type=int, default=500)
+    p.add_argument("--test", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shards", type=int, default=1, help="tr file shards (multi-host input)")
+    a = p.parse_args(argv)
+    import os
+
+    os.makedirs(a.out_dir, exist_ok=True)
+    sizes = {"tr": a.train, "va": a.valid, "te": a.test}
+    for i, (split, n) in enumerate(sizes.items()):
+        if a.format == "libsvm":
+            if split == "tr" and a.shards > 1:
+                per = n // a.shards
+                for s in range(a.shards):
+                    path = os.path.join(a.out_dir, f"tr.part{s}.libsvm")
+                    write_synthetic_libsvm(path, per, a.feature_size, seed=a.seed + 100 + s)
+                    print(path)
+                continue
+            path = os.path.join(a.out_dir, f"{split}.libsvm")
+            write_synthetic_libsvm(path, n, a.feature_size, seed=a.seed + i)
+        elif a.format == "csv":
+            path = os.path.join(a.out_dir, f"{split}.csv")
+            write_synthetic_csv(path, n, seed=a.seed + i)
+        else:
+            path = os.path.join(a.out_dir, f"{split}.samples.txt")
+            write_synthetic_aliccp(path, n, a.feature_size, seed=a.seed + i)
+        print(path)
+
+
 def write_synthetic_csv(path: str, num_samples: int, cat_buckets: int = 100, seed: int = 0) -> None:
     """Criteo CSV layout for the wide_n_deep path: label,I1..I13,C14..C39
     (wide_n_deep.py:55-64 uses categorical-identity buckets)."""
@@ -148,3 +189,5 @@ def write_synthetic_libsvm(
                 parts.append(f"{fid}:{v}")
             f.write(" ".join(parts) + "\n")
     return feature_size, batch["feat_ids"].shape[1]
+if __name__ == "__main__":
+    main()

@@ -142,23 +142,47 @@ class ShardedState:
         self.n_model = mesh.shape[MODEL_AXIS]
 
     def init(self, rng: jax.Array):
-        params, mstate = self.model.init(rng)
-        pspec = _spec_tree_like(params, self.model.param_spec())
-        params = pad_params_for_mesh(params, pspec, self.n_model)
-        opt_state = self.tx.init(params)
-        ospec = opt_state_spec(opt_state, params, pspec)
-        mspec = jax.tree.map(lambda _: P(), mstate)
+        """Builds the sharded train state by running init UNDER jit with
+        out_shardings — each device materializes only its own table shard
+        (no host-side full-table copy), and it works identically in
+        single-process and multi-host (jax.distributed) settings."""
+        model, tx, mesh = self.model, self.tx, self.mesh
+
+        p_shapes, m_shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+        pspec = _spec_tree_like(p_shapes, model.param_spec())
+        padded_shapes = jax.eval_shape(
+            lambda: pad_params_for_mesh(
+                jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), p_shapes),
+                pspec,
+                self.n_model,
+            )
+        )
+        o_shapes = jax.eval_shape(
+            tx.init, jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), padded_shapes)
+        )
+        ospec = opt_state_spec(o_shapes, padded_shapes, pspec)
+        mspec = jax.tree.map(lambda _: P(), m_shapes)
         specs = {"params": pspec, "opt_state": ospec, "mstate": mspec}
-        shardings = {k: make_shardings(self.mesh, v) for k, v in specs.items()}
-        state = {
-            "params": jax.device_put(params, shardings["params"]),
-            "opt_state": jax.device_put(opt_state, shardings["opt_state"]),
-            "mstate": jax.device_put(mstate, shardings["mstate"]),
-        }
+        shardings = {k: make_shardings(mesh, v) for k, v in specs.items()}
+
+        def _init(rng):
+            params, mstate = model.init(rng)
+            params = pad_params_for_mesh(params, pspec, self.n_model)
+            opt_state = tx.init(params)
+            return {"params": params, "opt_state": opt_state, "mstate": mstate}
+
+        state = jax.jit(_init, out_shardings=shardings)(rng)
         return state, specs
 
     def place_batch(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
         sh = make_shardings(self.mesh, batch_spec(batch))
+        if jax.process_count() > 1:
+            # each host contributes its local slice of the global batch
+            return jax.tree.map(
+                lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+                dict(batch),
+                sh,
+            )
         return jax.device_put(batch, sh)
 
 

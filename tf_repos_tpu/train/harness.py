@@ -149,6 +149,12 @@ class Harness:
         files = glob_input_files(cfg.data_dir, pattern, shuffle=shuffle, seed=cfg.seed)
         if fmt == "aliccp":
             files = [f for f in files if not f.endswith((".libsvm", ".csv"))]
+        if jax.process_count() > 1 and split == "tr":
+            # per-host input sharding — the file-list split the reference
+            # gets implicitly from async workers (run_dist.sh)
+            from tf_repos_tpu.data.pipeline import shard_files_for_host
+
+            files = shard_files_for_host(files, jax.process_index(), jax.process_count())
         if not files:
             raise FileNotFoundError(f"no input files match {cfg.data_dir}/{pattern}")
         common = dict(
@@ -281,6 +287,9 @@ class Harness:
 
 def run_task(cfg: Config) -> Dict[str, float] | str:
     """CLI entry: task_type dispatch, exactly the reference main() flow."""
+    from tf_repos_tpu.parallel.distributed import init_distributed
+
+    init_distributed(cfg)
     echo_config(cfg)
     if cfg.clear_existing_model and cfg.task_type == "train":
         clear_existing_model(cfg.resolved_model_dir())
