@@ -9,7 +9,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-DATA_DIR="${DATA_DIR:-/tmp/tf_repos_tpu_smoke/criteo}"
+DATA_DIR="${DATA_DIR:-/tmp/tf_repos_tpu_smoke/criteo_dist}"
 FEATURE_SIZE="${FEATURE_SIZE:-100000}"
 MODEL_DIR="${MODEL_DIR:-/tmp/tf_repos_tpu_smoke/dist_model/}"
 PORT="${PORT:-12355}"

@@ -81,3 +81,37 @@ def test_shard_files_for_host():
     all_shards = sum((shard_files_for_host(files, i, 4) for i in range(4)), [])
     assert sorted(all_shards) == sorted(files)
     assert not set(s0) & set(s1)
+
+
+def test_synchronized_iterator_equalizes_hosts():
+    """Multi-host batch agreement: with a fake agreement fn simulating a
+    shorter peer, the iterator yields exactly the agreed counts and makes
+    the same number of agreements regardless of local surplus (the
+    deadlock-avoidance contract; data/pipeline.synchronized_iterator)."""
+    from tf_repos_tpu.data.pipeline import synchronized_iterator
+
+    # peer has 21 items, we have 40, window 8 -> agreements:
+    #   w1: both continue (9) -> 8 items; w2: both continue -> 8;
+    #   w3: peer exhausted with 5 -> min(9,5)=5 -> stop. total 21.
+    peer = [9, 9, 5]
+    calls = []
+
+    def agree(signal):
+        calls.append(signal)
+        return min(signal, peer[len(calls) - 1])
+
+    got = list(synchronized_iterator(iter(range(40)), sync_every=8, agree_min=agree))
+    assert got == list(range(21))
+    assert calls == [9, 9, 9]  # we always had a full window + more
+
+    # exact-boundary exhaustion: 16 local items, peer unlimited
+    calls2 = []
+
+    def agree2(signal):
+        calls2.append(signal)
+        return signal  # peer never the limiter
+
+    got2 = list(synchronized_iterator(iter(range(16)), sync_every=8, agree_min=agree2))
+    assert got2 == list(range(16))
+    # third agreement signals OUR exhaustion (0) so peers stop with us
+    assert calls2 == [9, 9, 0]

@@ -49,6 +49,58 @@ class Prefetcher(Iterable[T]):
             yield item
 
 
+def synchronized_iterator(
+    it: Iterable[T], sync_every: int = 16, agree_min=None
+) -> Iterator[T]:
+    """Multi-host-safe batch iterator: every host yields EXACTLY the same
+    number of items, so every host dispatches the same number of
+    (collective) train steps.
+
+    Without this, unequal per-host shard sizes deadlock: the host with
+    more batches dispatches another psum-carrying step while the others
+    have moved on to the final checkpoint barrier. Hosts agree on
+    min(items buffered) every ``sync_every`` items via a host-level
+    allgather; surplus tail batches on longer hosts are dropped (at most
+    sync_every-1 per epoch). Single-process: plain passthrough.
+    """
+    import jax
+
+    if agree_min is None:
+        if jax.process_count() == 1:
+            yield from it
+            return
+
+        from jax.experimental import multihost_utils
+
+        def agree_min(n: int) -> int:
+            import numpy as np
+
+            return int(multihost_utils.process_allgather(np.int32(n)).min())
+
+    src = iter(it)
+    while True:
+        buf: List[T] = []
+        exhausted = False
+        while len(buf) < sync_every:
+            try:
+                buf.append(next(src))
+            except StopIteration:
+                exhausted = True
+                break
+        # signal encodes BOTH the count and can-continue, so every host
+        # performs the same number of agreements (a host that exhausts
+        # exactly on a window boundary must still stop everyone):
+        #   can continue  -> sync_every + 1
+        #   exhausted     -> len(buf)
+        signal = len(buf) if exhausted else sync_every + 1
+        agreed = agree_min(signal)
+        if agreed > sync_every:  # everyone has a full window and more
+            yield from buf
+            continue
+        yield from buf[:agreed]
+        return
+
+
 def shard_files_for_host(
     files: Sequence[str], process_index: int, process_count: int
 ) -> List[str]:

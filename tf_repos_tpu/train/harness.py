@@ -170,7 +170,13 @@ class Harness:
             ds = AliccpDataset(files, multi_hot_pad=cfg.multi_hot_pad, **common)
         else:
             ds = LibsvmDataset(files, field_size=cfg.field_size, **common)
-        return Prefetcher(ds, size=cfg.prefetch_batches)
+        it: Iterable = Prefetcher(ds, size=cfg.prefetch_batches)
+        if jax.process_count() > 1:
+            # every host must dispatch the same number of collective steps
+            from tf_repos_tpu.data.pipeline import synchronized_iterator
+
+            it = synchronized_iterator(it)
+        return it
 
     # ----------------------------------------------------------------- train
     def train(self) -> Dict[str, float]:
