@@ -50,7 +50,7 @@ class Config:
     dt_dir: str = ""
     model_dir: str = ""
     servable_model_dir: str = ""
-    task_type: str = "train"  # {train, eval, infer, export}
+    task_type: str = "train"  # {train, eval, eval_loop, infer, export}
     clear_existing_model: bool = False
 
     # ---- model-specific flags from other reference files
@@ -63,6 +63,15 @@ class Config:
     # ---- model selection. The reference has one script per algorithm
     # (DeepFM.py, PNN.py, ...); here one CLI selects from the registry.
     model: str = "DeepFM"
+
+    # ---- observability (reference: TensorBoard summaries via RunConfig,
+    # DeepFM.py:339-340; here JSONL metrics + jax.profiler traces)
+    write_metrics: bool = True
+    profile_steps: int = 0  # >0: trace this many steps with jax.profiler
+    profile_start_step: int = 10
+    check_numerics: bool = False  # jax_debug_nans fail-fast
+    eval_loop_secs: int = 30  # evaluator-process poll interval (task_type=eval_loop)
+    eval_loop_timeout: int = 3600  # stop evaluator after this long with no new ckpt
 
     # ---- TPU-native knobs (no reference analog)
     seed: int = 2018

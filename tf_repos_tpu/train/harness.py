@@ -192,16 +192,36 @@ class Harness:
         train_step = self._get_train_step()
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
+        if cfg.check_numerics:
+            from tf_repos_tpu.utils.observability import enable_nan_checks
+
+            enable_nan_checks()
+        writer = None
+        if cfg.write_metrics and jax.process_index() == 0:
+            from tf_repos_tpu.utils.observability import MetricsWriter
+
+            writer = MetricsWriter(self.model_dir)
+        profiler = None
+
         losses: List[float] = []
         t0 = time.time()
         last_log, last_eval = t0, t0
         metrics: Dict[str, float] = {}
 
         for batch in self._dataset("tr", shuffle=True, epochs=cfg.num_epochs):
+            if cfg.profile_steps and step == cfg.profile_start_step:
+                from tf_repos_tpu.utils.observability import profile_trace
+
+                profiler = profile_trace(os.path.join(self.model_dir, "profile"))
+                profiler.__enter__()
             rng, sub = jax.random.split(rng)
             state, loss = train_step(state, self._place(batch), sub)
             step += 1
             losses.append(loss)
+            if profiler and step >= cfg.profile_start_step + cfg.profile_steps:
+                float(loss)  # device sync so the trace covers the window
+                profiler.__exit__()
+                profiler = None
             if step % cfg.log_steps == 0:
                 now = time.time()
                 mean_loss = float(jnp.mean(jnp.stack(losses[-cfg.log_steps:])))
@@ -210,6 +230,11 @@ class Harness:
                     f"INFO: step = {step}, loss = {mean_loss:.5f} "
                     f"({rate:.3f} steps/sec, {rate * cfg.batch_size:.0f} examples/sec)"
                 )
+                if writer:
+                    writer.write(
+                        step,
+                        {"loss": mean_loss, "examples_per_sec": rate * cfg.batch_size},
+                    )
                 last_log = now
                 losses = losses[-1:]
                 if cfg.save_checkpoints_steps:
@@ -219,13 +244,20 @@ class Harness:
                 and time.time() - last_eval > cfg.eval_throttle_secs
             ):
                 metrics = self._maybe_eval(state["params"], state["mstate"])
+                if writer and metrics:
+                    writer.write(step, metrics, kind="eval")
                 last_eval = time.time()
 
+        if profiler:
+            profiler.__exit__()
         ckpt.save(step, dict(state, step=step), force=True)
         ckpt.close()
         metrics = self._maybe_eval(state["params"], state["mstate"]) or metrics
         metrics["step"] = step
         metrics["wall_time"] = time.time() - t0
+        if writer:
+            writer.write(step, {k: v for k, v in metrics.items() if k != "step"}, kind="final")
+            writer.close()
         return metrics
 
     def _maybe_eval(self, params, mstate) -> Dict[str, float]:
@@ -249,6 +281,38 @@ class Harness:
         ts = self.restore_or_init(ckpt)
         ckpt.close()
         return self._run_eval(ts["params"], ts["mstate"])
+
+    def evaluate_loop(self) -> Dict[str, float]:
+        """Continuous evaluator process: poll model_dir for new checkpoints
+        and evaluate each — the reference's dedicated evaluator role
+        (worker 1 remapped to 'evaluator', DeepFM.py:270-272, which polls
+        the shared model_dir for checkpoints written by the chief)."""
+        cfg = self.cfg
+        writer = None
+        if cfg.write_metrics:
+            from tf_repos_tpu.utils.observability import MetricsWriter
+
+            writer = MetricsWriter(self.model_dir, filename="eval_metrics.jsonl")
+        last_step = None
+        last_new = time.time()
+        metrics: Dict[str, float] = {}
+        while time.time() - last_new < cfg.eval_loop_timeout:
+            ckpt = CheckpointManager(self.model_dir, keep=cfg.keep_checkpoint_max)
+            step = ckpt.latest_step()
+            if step is not None and step != last_step:
+                ts = self.restore_or_init(ckpt)
+                ckpt.close()
+                metrics = self._run_eval(ts["params"], ts["mstate"])
+                metrics["step"] = step
+                if writer:
+                    writer.write(step, {k: v for k, v in metrics.items() if k != "step"}, kind="eval")
+                last_step, last_new = step, time.time()
+            else:
+                ckpt.close()
+                time.sleep(cfg.eval_loop_secs)
+        if writer:
+            writer.close()
+        return metrics
 
     # ----------------------------------------------------------------- infer
     def infer(self, out_path: Optional[str] = None) -> str:
@@ -304,6 +368,8 @@ def run_task(cfg: Config) -> Dict[str, float] | str:
         return h.train()
     if cfg.task_type == "eval":
         return h.evaluate()
+    if cfg.task_type == "eval_loop":
+        return h.evaluate_loop()
     if cfg.task_type == "infer":
         return h.infer()
     if cfg.task_type == "export":
