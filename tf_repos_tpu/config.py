@@ -84,6 +84,10 @@ class Config:
     eval_throttle_secs: int = 1200  # EvalSpec throttle (DeepFM.py:345)
     save_checkpoints_steps: int = 0  # 0: only save per epoch; wide_n_deep.py:129 sets it to log_steps
     keep_checkpoint_max: int = 5
+    # field-partitioned id space "off:size,off:size,..." or
+    # "auto:<feature_map path>" — enables the Pallas field-block scatter
+    # for table gradients on the single-chip path (ops/pallas_embedding.py)
+    field_blocks: str = ""
     # padded length for multi-hot (ragged) fields; the reference carries these
     # as VarLen sparse tensors (DIN.py:65-76) — on TPU they become fixed-shape
     # padded arrays with id==0 masking (DIN.py:157 mask convention).

@@ -175,6 +175,27 @@ def preprocess(
     return {"feature_size": feature_size, "field_size": NUM_CONTINUOUS + NUM_CATEGORICAL}
 
 
+def field_blocks_from_feature_map(path: str):
+    """(offsets, sizes) of each field's contiguous id block, derived from
+    a feature_map produced by preprocess(). Continuous field i occupies the
+    single id i; categorical C<j> spans [offset_j, offset_j + size_j).
+    Feeds the Pallas field-block scatter (ops/pallas_embedding.py)."""
+    cat_ids: Dict[int, List[int]] = {}
+    for line in open(path):
+        key, vid = line.rsplit(" ", 1)
+        if key.startswith("C") and "|" in key:
+            j = int(key.split("|")[0][1:])
+            cat_ids.setdefault(j, []).append(int(vid))
+    offsets = list(range(1, NUM_CONTINUOUS + 1))
+    sizes = [1] * NUM_CONTINUOUS
+    for j in sorted(cat_ids):
+        ids = cat_ids[j]
+        lo, hi = min(ids), max(ids)
+        offsets.append(lo)
+        sizes.append(hi - lo + 1)
+    return tuple(offsets), tuple(sizes)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input_dir", required=True)

@@ -89,6 +89,24 @@ class Harness:
             return self._sharded.place_batch(batch)
         return batch
 
+    def _field_block_lookup(self):
+        """Pallas field-block lookup when --field_blocks is set (single-
+        chip path; the sharded path keeps the psum lookup)."""
+        cfg = self.cfg
+        if not cfg.field_blocks or self.mesh is not None:
+            return None
+        if cfg.field_blocks.startswith("auto:"):
+            from tf_repos_tpu.features.criteo import field_blocks_from_feature_map
+
+            offsets, sizes = field_blocks_from_feature_map(cfg.field_blocks[5:])
+        else:
+            pairs = [p.split(":") for p in cfg.field_blocks.split(",")]
+            offsets = tuple(int(a) for a, _ in pairs)
+            sizes = tuple(int(b) for _, b in pairs)
+        from tf_repos_tpu.ops.pallas_embedding import make_field_block_lookup
+
+        return make_field_block_lookup(cfg.feature_size, offsets, sizes)
+
     def _get_train_step(self):
         """Unified signature: (state_dict, placed_batch, rng) ->
         (state_dict, loss)."""
@@ -101,7 +119,7 @@ class Harness:
                 self.model, self.tx, self.mesh, self._specs
             )
         else:
-            inner = L.build_train_step(self.model, self.tx)
+            inner = L.build_train_step(self.model, self.tx, lookup=self._field_block_lookup())
 
             def step(state, batch, rng):
                 p, o, m, loss = inner(

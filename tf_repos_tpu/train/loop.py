@@ -19,13 +19,18 @@ from tf_repos_tpu.models.base import CtrModel
 from tf_repos_tpu.ops import metrics as M
 
 
-def build_train_step(model: CtrModel, tx: optax.GradientTransformation):
+def build_train_step(model: CtrModel, tx: optax.GradientTransformation, lookup=None):
     """(params, opt_state, mstate, batch, rng) -> (params, opt_state,
-    mstate, loss). Donated inputs so the big tables update in place."""
+    mstate, loss). Donated inputs so the big tables update in place.
+    lookup: optional embedding-lookup override (e.g. the Pallas
+    field-block custom-vjp lookup, ops/pallas_embedding.py)."""
+    from tf_repos_tpu.ops.embedding import dense_lookup
+
+    lookup = lookup or dense_lookup
 
     def step(params, opt_state, mstate, batch, rng):
         (loss, (_, new_mstate)), grads = jax.value_and_grad(model.loss, has_aux=True)(
-            params, mstate, batch, train=True, rng=rng
+            params, mstate, batch, train=True, rng=rng, lookup=lookup
         )
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
