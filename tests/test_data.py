@@ -115,3 +115,41 @@ def test_synchronized_iterator_equalizes_hosts():
     assert got2 == list(range(16))
     # third agreement signals OUR exhaustion (0) so peers stop with us
     assert calls2 == [9, 9, 0]
+
+
+def test_native_parser_matches_python(tmp_path):
+    """C++ libsvm parser == NumPy parser on well-formed, ragged, and
+    value-less tokens."""
+    from tf_repos_tpu.data import native
+    from tf_repos_tpu.data.libsvm import parse_libsvm_lines
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    lines = [
+        b"1 1:0.5 2:1 3:0.25",
+        b"0 4:1 5:2e-2 6:-1.5",
+        b"1 7:1 8:1",  # ragged: fewer than field_size
+        b"0 9:1 10:1 11:1 12:1",  # surplus: truncated
+        b"1 13 14:",  # no colon -> val 1.0; empty val -> 1.0
+    ]
+    ids_n, vals_n, labels_n = native.parse_libsvm_lines(lines, 3)
+    ids_p, vals_p, labels_p = parse_libsvm_lines(lines, 3)
+    np.testing.assert_array_equal(ids_n, ids_p)
+    np.testing.assert_allclose(vals_n, vals_p, rtol=1e-6)
+    np.testing.assert_array_equal(labels_n, labels_p)
+
+
+def test_native_blob_parser(tmp_path):
+    from tf_repos_tpu.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    blob = b"1 1:0.5 2:1\n\n0 3:1 4:0.25\n"
+    ids, vals, labels = native.parse_libsvm_blob(blob, 2)
+    np.testing.assert_array_equal(ids, [[1, 2], [3, 4]])
+    np.testing.assert_allclose(vals, [[0.5, 1.0], [1.0, 0.25]])
+    np.testing.assert_array_equal(labels, [1.0, 0.0])
