@@ -77,3 +77,32 @@ def test_gd_is_plain_sgd():
 def test_unknown_raises():
     with pytest.raises(ValueError):
         make_optimizer("bogus", 0.1)
+
+
+def test_wdl_composite_per_part_updates():
+    """--optimizer=wdl: wide params step with FTRL, deep with Adagrad —
+    the DNNLinearCombinedClassifier default split."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_repos_tpu.train.optimizers import adagrad_tf, ftrl, make_optimizer
+
+    params = {
+        "wide_cat": jnp.ones((4,)),
+        "emb": jnp.ones((4, 2)),
+        "bias": jnp.zeros((1,)),
+    }
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+    tx = make_optimizer("wdl", 0.1)
+    st = tx.init(params)
+    upd, _ = tx.update(grads, st, params)
+
+    ftrl_tx = ftrl(0.1)
+    fs = ftrl_tx.init({"w": params["wide_cat"]})
+    fupd, _ = ftrl_tx.update({"w": grads["wide_cat"]}, fs, {"w": params["wide_cat"]})
+    np.testing.assert_allclose(np.asarray(upd["wide_cat"]), np.asarray(fupd["w"]), rtol=1e-6)
+
+    ag = adagrad_tf(0.1, 0.1)
+    as_ = ag.init({"e": params["emb"]})
+    aupd, _ = ag.update({"e": grads["emb"]}, as_, {"e": params["emb"]})
+    np.testing.assert_allclose(np.asarray(upd["emb"]), np.asarray(aupd["e"]), rtol=1e-6)

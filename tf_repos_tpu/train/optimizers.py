@@ -31,7 +31,31 @@ def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformat
         return ftrl(learning_rate)
     if key in ("gd", "sgd"):
         return optax.sgd(learning_rate)
+    if key == "wdl":
+        return wdl_composite(learning_rate)
     raise ValueError(f"unknown optimizer {name!r}")
+
+
+def wdl_composite(learning_rate: float) -> optax.GradientTransformation:
+    """DNNLinearCombinedClassifier's default per-part optimizers: the
+    linear (wide) columns train with FTRL, everything else (DNN part)
+    with Adagrad — the canned-estimator behavior wide_n_deep relies on
+    (reference wide_n_deep.py:115-151 leaves both optimizers at their
+    canned defaults). Parts are identified by the ``wide_*`` top-level
+    param names of models/wide_deep.py."""
+
+    def labels(params):
+        return {
+            k: jax.tree.map(
+                lambda _: "wide" if str(k).startswith("wide") else "deep", v
+            )
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform(
+        {"wide": ftrl(learning_rate), "deep": adagrad_tf(learning_rate, 0.1)},
+        labels,
+    )
 
 
 # ----------------------------------------------------------------- adagrad
@@ -92,23 +116,27 @@ def ftrl(
     def update(grads, state, params):
         if params is None:
             raise ValueError("ftrl requires params")
+        n_new = jax.tree.map(lambda g, n: n + jnp.square(g), grads, state.n)
+        z_new = jax.tree.map(
+            lambda g, n0, n1, z, w: z
+            + g
+            - ((jnp.power(n1, -p) - jnp.power(n0, -p)) / lr) * w,
+            grads,
+            state.n,
+            n_new,
+            state.z,
+            params,
+        )
 
-        def upd(g, n, z, w):
-            n_new = n + jnp.square(g)
-            sigma = (jnp.power(n_new, -p) - jnp.power(n, -p)) / lr
-            z_new = z + g - sigma * w
+        def step(z, n1, w):
             w_new = jnp.where(
-                jnp.abs(z_new) <= l1,
+                jnp.abs(z) <= l1,
                 0.0,
-                -(z_new - jnp.sign(z_new) * l1)
-                / (jnp.power(n_new, -p) / lr + 2.0 * l2),
+                -(z - jnp.sign(z) * l1) / (jnp.power(n1, -p) / lr + 2.0 * l2),
             )
-            return w_new - w, n_new, z_new
+            return w_new - w
 
-        flat = jax.tree.map(upd, grads, state.n, state.z, params)
-        steps = jax.tree.map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
-        n_new = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
-        z_new = jax.tree.map(lambda t: t[2], flat, is_leaf=lambda t: isinstance(t, tuple))
+        steps = jax.tree.map(step, z_new, n_new, params)
         return steps, FtrlState(n_new, z_new)
 
     return optax.GradientTransformation(init, update)
