@@ -143,3 +143,65 @@ def test_cpp_client_end_to_end(servable, server, tmp_path):
     assert len(pline) == 1
     p = float(pline[0].split("=")[1])
     assert 0.0 <= p <= 1.0
+
+
+def test_scorer_matches_harness_infer(servable, tmp_path):
+    """The servable path (export -> scorer) must score identically to the
+    checkpoint path (harness infer) — the export/serving parity the
+    reference gets from SavedModel."""
+    import glob as _g
+
+    from tf_repos_tpu.data.libsvm import LibsvmDataset
+
+    if not _g.glob(servable.data_dir + "/te*"):
+        shutil.copy(servable.data_dir + "/va.libsvm", servable.data_dir + "/te.libsvm")
+    h = Harness(servable)
+    out_path = h.infer(out_path=str(tmp_path / "pred.txt"))
+    infer_preds = np.asarray([float(x) for x in open(out_path).read().split()])
+
+    s = Scorer(servable.servable_model_dir, batch_buckets=(64,), warmup=False)
+    ds = LibsvmDataset(
+        sorted(_g.glob(servable.data_dir + "/te*")), field_size=39, batch_size=64
+    )
+    scored = []
+    for b in ds:
+        inst = [
+            {"feat_ids": b["feat_ids"][i], "feat_vals": b["feat_vals"][i]}
+            for i in range(len(b["label"]))
+            if b["mask"][i] > 0
+        ]
+        scored.append(s.score(inst)["prob"])
+    scored = np.concatenate(scored)
+    assert len(scored) == len(infer_preds)
+    np.testing.assert_allclose(scored, infer_preds, rtol=1e-4, atol=1e-5)
+
+
+def test_esmm_export_and_scoring(tmp_path):
+    """Aliccp-signature export + scoring end-to-end (the reference's ESMM
+    export branch is 'Not Implemented', DeepCvrMTL.py:383-384 — ours works)."""
+    from tf_repos_tpu.data.synthetic import synthetic_aliccp_batch, write_synthetic_aliccp
+
+    d = tmp_path / "data"
+    d.mkdir()
+    write_synthetic_aliccp(str(d / "tr.samples.txt"), 96, feature_size=600, seed=0)
+    write_synthetic_aliccp(str(d / "va.samples.txt"), 48, feature_size=600, seed=1)
+    cfg = Config(
+        model="esmm", feature_size=600, field_size=11, embedding_size=4,
+        deep_layers="8,4", dropout="1.0,1.0", batch_size=16, num_epochs=1,
+        log_steps=5, data_dir=str(d), model_dir=str(tmp_path / "m"),
+        dt_dir="e", eval_throttle_secs=0, multi_hot_pad=8,
+        servable_model_dir=str(tmp_path / "servable"),
+    )
+    run_task(cfg)
+    run_task(cfg.replace(task_type="export"))
+    s = Scorer(str(tmp_path / "servable"), batch_buckets=(8,), warmup=True)
+    batch = synthetic_aliccp_batch(np.random.default_rng(3), 5, 600, 11, 8)
+    inst = [
+        {k: v[i] for k, v in batch.items() if k not in ("y", "z", "label", "mask")}
+        for i in range(5)
+    ]
+    out = s.score(inst)
+    assert set(out) == {"pctcvr", "pctr", "pcvr"}
+    np.testing.assert_allclose(
+        out["pctcvr"], out["pctr"] * out["pcvr"], rtol=1e-5
+    )
