@@ -52,6 +52,10 @@ class Scorer:
     # ------------------------------------------------------------ loading
     def _load(self, version_dir: str) -> None:
         model, params, mstate, signature = load_servable(version_dir)
+        # commit weights to the device once: numpy params would be
+        # re-transferred on EVERY predict dispatch (measured 3x latency)
+        params = jax.tree.map(jnp.asarray, params)
+        mstate = jax.tree.map(jnp.asarray, mstate)
         keys = model.prediction_keys
 
         def predict(params, mstate, batch):
