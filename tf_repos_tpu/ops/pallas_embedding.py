@@ -23,6 +23,15 @@ static offsets.
 The forward stays XLA's native gather (it is already near its
 transaction bound; a Pallas scalar-loop gather measures SLOWER). The two
 are tied with jax.custom_vjp in ``make_field_block_lookup``.
+
+Measured on v5e (batch 16k, Criteo shapes): 9.0 ms (bf16) vs 12.0 ms for
+XLA's STANDALONE scatter — but inside the real training step XLA fuses
+the scatter with the surrounding backward/update graph and wins
+end-to-end (15.3 ms/step plain vs 18.8 ms/step with this kernel, because
+custom_vjp breaks that fusion and adds two layout transposes). The
+kernel therefore stays OPT-IN via --field_blocks: it is the right shape
+on hardware where the scatter dominates harder, and documents the
+one-hot-matmul technique; on v5e prefer the default XLA path.
 """
 
 from __future__ import annotations
@@ -44,8 +53,8 @@ def _round_up(x: int, m: int) -> int:
 def _scatter_kernel(
     offs_ref,  # SMEM [F] int32 — per-field block offset (absolute row)
     sizes_ref,  # SMEM [F] int32 — per-field block size
-    ids_ref,  # VMEM (TB, 1) int32 — absolute ids, batch tile x field
-    g_ref,  # VMEM (TB, 1, W) f32 — grad rows
+    ids_ref,  # VMEM (8, TB) int32 — absolute ids, 8-field group x batch tile
+    g_ref,  # VMEM (1, TB, W) f32 — grad rows for (field, batch tile)
     out_ref,  # VMEM (1, 1, TV, W) f32 — piece (f, v), resident across b
     *,
     tile_v: int,
@@ -65,17 +74,24 @@ def _scatter_kernel(
 
     @pl.when(v * tile_v < size)
     def _():
-        ids = ids_ref[:, 0]  # [TB]
+        ids = ids_ref[f - (f // 8) * 8, :]  # [TB] (row within the 8-group)
         rel = ids - base  # relative row within this vocab chunk
         col = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], tile_v), 1)
         valid_col = col < (size - v * tile_v)  # stay inside the field block
         onehot = ((rel[:, None] == col) & valid_col).astype(acc_dtype)
-        g = g_ref[:, 0, :].astype(acc_dtype)  # [TB, W]
+        g = g_ref[0].astype(acc_dtype)  # [TB, W]
         piece = jax.lax.dot_general(
             onehot,
             g,
             dimension_numbers=(((0,), (0,)), ((), ())),  # onehotᵀ @ g
             preferred_element_type=jnp.float32,
+            # bf16 mode: one MXU pass, grads bf16-rounded pre-sum (f32
+            # accumulation). f32 mode: 3-pass for near-exact results.
+            precision=(
+                jax.lax.Precision.DEFAULT
+                if acc_dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST
+            ),
         )
         out_ref[0, 0, :, :] += piece
 
@@ -115,6 +131,13 @@ def field_block_scatter(
         g = jnp.pad(g, ((0, Bp - B), (0, 0), (0, 0)))
     n_b = Bp // tile_b
 
+    # Mosaic block layouts: ids as [F8, B] (8-field sublane groups x
+    # 128-aligned batch lanes), g as [F, B, W] so the (batch, W) tail is
+    # (8,128)-tileable
+    F8 = _round_up(F, 8)
+    ids_t = jnp.pad(ids.T, ((0, F8 - F), (0, 0)), constant_values=-1)
+    g_t = jnp.transpose(g, (1, 0, 2))
+
     acc_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     offs_arr = jnp.asarray(offsets, jnp.int32)
     sizes_arr = jnp.asarray(sizes, jnp.int32)
@@ -123,9 +146,11 @@ def field_block_scatter(
         num_scalar_prefetch=2,  # offs, sizes
         grid=(F, n_v, n_b),
         in_specs=[
-            pl.BlockSpec((tile_b, 1), lambda f, v, b, *_: (b, f), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tile_b, 1, W), lambda f, v, b, *_: (b, f, 0), memory_space=pltpu.VMEM
+                (8, tile_b), lambda f, v, b, *_: (f // 8, b), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_b, W), lambda f, v, b, *_: (f, b, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -137,7 +162,7 @@ def field_block_scatter(
         out_shape=jax.ShapeDtypeStruct((F, n_v, tile_v, W), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(offs_arr, sizes_arr, ids, g)
+    )(offs_arr, sizes_arr, ids_t, g_t)
 
     # assemble: add the dense per-(field, chunk) pieces at static offsets
     dtable = jnp.zeros((vocab + tile_v, W), g.dtype)  # +margin for last chunk
