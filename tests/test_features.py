@@ -206,3 +206,42 @@ def test_aliccp_feeds_ragged_dataset(tmp_path):
     assert batch["feat_ids"].shape == (8, 11)
     assert batch["u_catids"].shape == (8, 8)
     assert set(batch["y"]) <= {0.0, 1.0}
+
+
+def test_aliccp_streaming_cli_stage_parity(tmp_path):
+    """The --mode streaming stages (stdin->stdout) chain to the same
+    output as run_pipeline — so the same code slots into Hadoop-streaming
+    mapper/reducer jobs like the reference's (get_join_sample.sh etc.)."""
+    import subprocess
+    import sys
+
+    skel = _aliccp_raw(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu")
+
+    def stage(mode, stdin, extra=()):
+        r = subprocess.run(
+            [sys.executable, "-m", "tf_repos_tpu.features.aliccp", "--mode", mode, *extra],
+            input=stdin, capture_output=True, text=True, env=env, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+
+    raw = (tmp_path / "skeleton.csv").read_text() + (tmp_path / "common.csv").read_text()
+    joined = stage("join_reduce", stage("join_map", raw))
+    counts = stage("stat_reduce", stage("stat_map", joined))
+    cnts_file = tmp_path / "cnts"
+    cnts_file.write_text(counts)
+    remapped = stage(
+        "shuffle_reduce",
+        stage("remap_map", joined, extra=["--feat_cnts_file", str(cnts_file), "--cutoff", "1", "--seed", "0"]),
+    )
+    lines = [l for l in remapped.split("\n") if l]
+    # same sample multiset as the local pipeline
+    out = tmp_path / "out"
+    A.run_pipeline(
+        str(tmp_path / "skeleton.csv"), str(tmp_path / "common.csv"), str(out),
+        cutoff=1, seed=0, threads=1,
+    )
+    pipeline_lines = [l for l in open(out / "samples.txt").read().split("\n") if l]
+    assert sorted(lines) == sorted(pipeline_lines)

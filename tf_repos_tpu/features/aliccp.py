@@ -224,14 +224,49 @@ def run_pipeline(
 
 
 def main(argv=None):
+    """Two modes:
+
+    local pipeline:  --skeleton_glob ... --common_glob ... --output_dir ...
+    streaming stage: --mode {join_map,join_reduce,stat_map,stat_reduce,
+                     remap_map,shuffle_reduce} reads stdin, writes stdout —
+                     drop-in for the reference's Hadoop-streaming jobs
+                     (get_join_sample.sh / get_stat_feat.sh /
+                     get_remap_fid.sh mapper/reducer slots).
+                     remap_map needs --feat_cnts_file (the distributed-
+                     cache file of get_remap_fid.sh:27).
+    """
+    import sys
+
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--skeleton_glob", required=True)
-    p.add_argument("--common_glob", required=True)
-    p.add_argument("--output_dir", required=True)
+    p.add_argument("--mode", default="pipeline")
+    p.add_argument("--skeleton_glob")
+    p.add_argument("--common_glob")
+    p.add_argument("--output_dir")
+    p.add_argument("--feat_cnts_file")
     p.add_argument("--cutoff", type=int, default=CUTOFF)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--threads", type=int, default=8)
     a = p.parse_args(argv)
+
+    if a.mode != "pipeline":
+        stages = {
+            "join_map": join_map,
+            "join_reduce": join_reduce,
+            "stat_map": stat_map,
+            "stat_reduce": stat_reduce,
+            "shuffle_reduce": shuffle_reduce,
+        }
+        if a.mode == "remap_map":
+            remap = load_remap(open(a.feat_cnts_file), a.cutoff)
+            out = remap_map(sys.stdin, remap, random.Random(a.seed))
+        elif a.mode in stages:
+            out = stages[a.mode](sys.stdin)
+        else:
+            p.error(f"unknown --mode {a.mode}")
+        for line in out:
+            sys.stdout.write(line + "\n")
+        return
+
     info = run_pipeline(
         a.skeleton_glob, a.common_glob, a.output_dir, a.cutoff, a.seed, a.threads
     )
