@@ -157,6 +157,12 @@ class PredictionServer:
                 if not self.path.startswith("/v1/models/") or ":predict" not in self.path:
                     self._reply(404, {"error": "not found"})
                     return
+                name = self.path[len("/v1/models/"):].split(":", 1)[0]
+                if name != outer.model_name:
+                    self._reply(
+                        404, {"error": f"model {name!r} not found (serving {outer.model_name!r})"}
+                    )
+                    return
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(length))
