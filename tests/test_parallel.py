@@ -149,12 +149,13 @@ def test_sharded_predict_matches_single():
     np.testing.assert_allclose(ref, got, rtol=1e-5, atol=1e-6)
 
 
-def test_esmm_sharded_step_runs():
-    """ESMM has its own joint loss; exercise per_example_loss parity on a
-    mesh (value check vs its loss() on one device)."""
+@pytest.mark.parametrize("model_name", ["esmm", "din"])
+def test_multihot_models_sharded_step(model_name):
+    """DIN/ESMM on a mesh: padded multi-hot lookups through the sharded
+    psum lookup match the single-device step (value check vs loss())."""
     from tf_repos_tpu.data.synthetic import synthetic_aliccp_batch
 
-    cfg = _cfg(model="esmm", field_size=11, multi_hot_pad=8)
+    cfg = _cfg(model=model_name, field_size=11, multi_hot_pad=8)
     model = create_model(cfg)
     rng = np.random.default_rng(0)
     b = synthetic_aliccp_batch(rng, cfg.batch_size, cfg.feature_size, cfg.field_size, cfg.multi_hot_pad)
