@@ -114,13 +114,32 @@ class DIN(CtrModel):
     ) -> Tuple[Outputs, State]:
         cfg = self.cfg
         emb_t = params["emb"]
-        common = lookup(emb_t, batch["feat_ids"])  # [B,Fc,K]
-        a_cat = lookup(emb_t, batch["a_catids"])  # [B,K]
-        a_shop = lookup(emb_t, batch["a_shopids"])
-        a_brand = lookup(emb_t, batch["a_brandids"])
+        # ONE fused gather for every field (see models/esmm.py: each
+        # separate lookup would materialize its own dense [V,K] cotangent
+        # in the backward — table-sized traffic per call site)
+        p = batch["u_catids"].shape[1]
+        fc = batch["feat_ids"].shape[1]
+        all_ids = jnp.concatenate(
+            [
+                batch["feat_ids"],
+                *[batch[f"{f}ids"] for f in USER_FIELDS],
+                batch["a_catids"][:, None],
+                batch["a_shopids"][:, None],
+                batch["a_brandids"][:, None],
+                batch["a_intids"],
+            ],
+            axis=1,
+        )
+        rows = lookup(emb_t, all_ids)  # [B, fc+4p+3+p, K]
+        common = rows[:, :fc]  # [B,Fc,K]
+        user_rows = {
+            f: rows[:, fc + i * p : fc + (i + 1) * p] for i, f in enumerate(USER_FIELDS)
+        }
+        off = fc + 4 * p
+        a_cat, a_shop, a_brand = rows[:, off], rows[:, off + 1], rows[:, off + 2]
         int_mask = (batch["a_intids"] > 0).astype(common.dtype)
         a_int = jnp.einsum(
-            "bpk,bp->bk", lookup(emb_t, batch["a_intids"]), int_mask
+            "bpk,bp->bk", rows[:, off + 3 : off + 3 + p], int_mask
         )  # sum combiner (DIN.py:148)
 
         ad_emb = {"u_cat": a_cat, "u_shop": a_shop, "u_brand": a_brand, "u_int": a_int}
@@ -141,7 +160,7 @@ class DIN(CtrModel):
             ids = batch[f"{f}ids"]
             vals = batch[f"{f}vals"]
             mask = (ids > 0).astype(common.dtype)
-            demb = lookup(emb_t, ids) * vals[..., None]  # [B,P,K]
+            demb = user_rows[f] * vals[..., None]  # [B,P,K]
             if cfg.attention_pooling:
                 pool, att_state = self._attention_unit(
                     params,

@@ -67,21 +67,42 @@ class ESMM(CtrModel):
     ) -> Tuple[Outputs, State]:
         cfg = self.cfg
         emb_t = params["emb"]
-        common = lookup(emb_t, batch["feat_ids"])  # [B,Fc,K] — unscaled (:154)
-
+        # ONE fused gather for every field: each separate lookup would
+        # materialize its own dense [V,K] cotangent in the backward pass —
+        # at Ali-CCP scale (4.5M rows) that is ~288MB of zero-init +
+        # scatter PER CALL SITE; fusing 9 call sites into one cuts the
+        # backward's table-sized traffic 9x.
+        p = batch["u_catids"].shape[1]
+        fc = batch["feat_ids"].shape[1]
+        all_ids = jnp.concatenate(
+            [
+                batch["feat_ids"],
+                *[batch[f"{f}ids"] for f in USER_FIELDS],
+                batch["a_catids"][:, None],
+                batch["a_shopids"][:, None],
+                batch["a_brandids"][:, None],
+                batch["a_intids"],
+            ],
+            axis=1,
+        )
+        rows = lookup(emb_t, all_ids)  # [B, fc+4p+3+p, K]
+        common = rows[:, :fc]  # unscaled (:154)
+        off = fc
         pooled = []
         for f in USER_FIELDS:
             ids = batch[f"{f}ids"]
             vals = batch[f"{f}vals"]
-            mask = (ids > 0).astype(common.dtype)
-            demb = lookup(emb_t, ids)
+            mask = (ids > 0).astype(rows.dtype)
+            demb = rows[:, off : off + p]
+            off += p
             pooled.append(jnp.einsum("bpk,bp->bk", demb, mask * vals))  # sum combiner
 
-        a_cat = lookup(emb_t, batch["a_catids"])
-        a_shop = lookup(emb_t, batch["a_shopids"])
-        a_brand = lookup(emb_t, batch["a_brandids"])
-        int_mask = (batch["a_intids"] > 0).astype(common.dtype)
-        a_int = jnp.einsum("bpk,bp->bk", lookup(emb_t, batch["a_intids"]), int_mask)
+        a_cat = rows[:, off]
+        a_shop = rows[:, off + 1]
+        a_brand = rows[:, off + 2]
+        off += 3
+        int_mask = (batch["a_intids"] > 0).astype(rows.dtype)
+        a_int = jnp.einsum("bpk,bp->bk", rows[:, off : off + p], int_mask)
 
         x = jnp.concatenate(
             [common.reshape(common.shape[0], -1), *pooled, a_cat, a_shop, a_brand, a_int],
