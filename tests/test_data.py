@@ -153,3 +153,19 @@ def test_native_blob_parser(tmp_path):
     np.testing.assert_array_equal(ids, [[1, 2], [3, 4]])
     np.testing.assert_allclose(vals, [[0.5, 1.0], [1.0, 0.25]])
     np.testing.assert_array_equal(labels, [1.0, 0.0])
+
+
+def test_auto_multi_hot_pad(tmp_path):
+    """multi_hot_pad=0 derives a data-driven pad (p95 rounded to 8) —
+    oversized static pads directly tax TPU gather/scatter throughput."""
+    from tf_repos_tpu.data.ragged import AliccpDataset, auto_multi_hot_pad
+    from tf_repos_tpu.data.synthetic import write_synthetic_aliccp
+
+    p = tmp_path / "s.txt"
+    write_synthetic_aliccp(str(p), 200, feature_size=500, multi_hot=5, seed=0)
+    pad = auto_multi_hot_pad([str(p)])
+    assert pad == 8  # true lengths 1..5 -> p95 rounds up to 8
+    ds = AliccpDataset([str(p)], batch_size=16, multi_hot_pad=0)
+    assert ds.multi_hot_pad == 8
+    b = next(iter(ds))
+    assert b["u_catids"].shape == (16, 8)
