@@ -169,3 +169,32 @@ def test_auto_multi_hot_pad(tmp_path):
     assert ds.multi_hot_pad == 8
     b = next(iter(ds))
     assert b["u_catids"].shape == (16, 8)
+
+
+def test_native_aliccp_parser_matches_python(tmp_path):
+    """C++ aliccp parser == Python parser on real-shaped sample lines
+    (defaults, multi-hot padding/truncation, malformed rows)."""
+    from tf_repos_tpu.data import native
+    from tf_repos_tpu.data.ragged import parse_aliccp_lines
+    from tf_repos_tpu.data.synthetic import write_synthetic_aliccp
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    p = tmp_path / "s.txt"
+    write_synthetic_aliccp(str(p), 300, feature_size=5000, multi_hot=6, seed=3)
+    lines = open(p, "rb").read().splitlines()
+    # add edge cases: absent fields (defaults), malformed, truncation
+    lines += [
+        b"s_a,1,0,205:77:1.0",                      # only one common field
+        b"bad line without commas",                  # malformed -> mask 0
+        b"s_b,0,0," + b" ".join(b"109_14:%d:1.0" % i for i in range(100, 120)),  # truncate
+        b"s_c,1,1,206:5:1.0 210:9:1.0 150_14:44:0.5 999:1:1.0",  # unknown field ignored
+    ]
+    for pad in (4, 16):
+        want = parse_aliccp_lines(lines, pad)
+        got = native.parse_aliccp_lines(lines, pad)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=f"key {k} pad {pad}")

@@ -17,8 +17,11 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 _SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native_src")
-_SRC = os.path.join(_SRC_DIR, "libsvm_parser.cpp")
-_LIB_PATH = os.path.join(_SRC_DIR, "libsvm_parser.so")
+_SRCS = [
+    os.path.join(_SRC_DIR, "libsvm_parser.cpp"),
+    os.path.join(_SRC_DIR, "aliccp_parser.cpp"),
+]
+_LIB_PATH = os.path.join(_SRC_DIR, "native_parsers.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -26,11 +29,13 @@ _tried = False
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+    if os.path.exists(_LIB_PATH) and all(
+        os.path.getmtime(_LIB_PATH) >= os.path.getmtime(s) for s in _SRCS
+    ):
         return _LIB_PATH
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", _LIB_PATH],
             check=True,
             capture_output=True,
             timeout=120,
@@ -67,6 +72,22 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
+        ]
+        lib.parse_aliccp.restype = ctypes.c_int64
+        lib.parse_aliccp.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
         return _lib
@@ -105,6 +126,59 @@ def parse_libsvm_lines(
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return ids, vals, labels
+
+
+def parse_aliccp_lines(lines: Sequence[bytes], multi_hot_pad: int):
+    """Same batch contract as data/ragged.parse_aliccp_lines, C++-parsed."""
+    lib = _load()
+    n = len(lines)
+    p = multi_hot_pad
+    y = np.zeros((n,), np.float32)
+    z = np.zeros((n,), np.float32)
+    mask = np.zeros((n,), np.float32)
+    feat_ids = np.zeros((n, 11), np.int32)
+    u_ids = np.zeros((n, 4, p), np.int32)
+    u_vals = np.zeros((n, 4, p), np.float32)
+    a_scalar = np.zeros((n, 3), np.int32)
+    a_int = np.zeros((n, p), np.int32)
+    if n:
+        offsets = np.empty((n + 1,), np.int64)
+        pos = 0
+        for i, ln in enumerate(lines):
+            offsets[i] = pos
+            pos += len(ln) + 1
+        offsets[n] = pos
+        blob = b"\n".join(lines) + b"\n"
+        lib.parse_aliccp(
+            blob,
+            len(blob),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            p,
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            z.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            feat_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            u_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            u_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            a_scalar.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            a_int.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    out = {
+        "y": y,
+        "z": z,
+        "label": y,
+        "mask": mask,
+        "feat_ids": feat_ids,
+        "a_catids": a_scalar[:, 0].copy(),
+        "a_shopids": a_scalar[:, 1].copy(),
+        "a_brandids": a_scalar[:, 2].copy(),
+        "a_intids": a_int,
+    }
+    for i, f in enumerate(("u_cat", "u_shop", "u_brand", "u_int")):
+        out[f"{f}ids"] = u_ids[:, i]
+        out[f"{f}vals"] = u_vals[:, i]
+    return out
 
 
 def parse_libsvm_blob(

@@ -170,14 +170,22 @@ class AliccpDataset:
         self.multi_hot_pad = multi_hot_pad
 
     def __iter__(self) -> Iterator[Batch]:
+        parse = parse_aliccp_lines
+        try:  # C++ fast path (~15x; data/native_src/aliccp_parser.cpp)
+            from tf_repos_tpu.data import native
+
+            if native.available():
+                parse = native.parse_aliccp_lines
+        except Exception:
+            pass
         pending: List[bytes] = []
         for ln in self._inner._iter_shuffled_lines():
             pending.append(ln)
             if len(pending) == self.batch_size:
-                yield parse_aliccp_lines(pending, self.multi_hot_pad)
+                yield parse(pending, self.multi_hot_pad)
                 pending = []
         if pending and not self.drop_remainder:
-            batch = parse_aliccp_lines(pending, self.multi_hot_pad)
+            batch = parse(pending, self.multi_hot_pad)
             pad = self.batch_size - len(pending)
             yield {
                 k: np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
