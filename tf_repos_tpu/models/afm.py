@@ -82,7 +82,8 @@ class AFM(CtrModel):
             k1, k2, k3 = jax.random.split(rng, 3)
         # reference attention MLP has NO dropout inside (AFM.py:143-147)
         h, att_state = T.apply_mlp(
-            params["att_mlp"], state["att_mlp"], att_in, keep_probs=[1.0], train=train, rng=None
+            params["att_mlp"], state["att_mlp"], att_in, keep_probs=[1.0], train=train, rng=None,
+            compute_dtype=cfg.tower_dtype,
         )
         att_logits = T.dense(params["att_out"], h).reshape(b, num_pairs, 1)
         aij = jax.nn.softmax(att_logits, axis=1)

@@ -119,6 +119,7 @@ class WideDeep(CtrModel):
                 rng=rng,
                 batch_norm=cfg.batch_norm,
                 bn_decay=cfg.batch_norm_decay,
+                compute_dtype=cfg.tower_dtype,
             )
             logits = logits + T.dense(params["out"], h)[:, 0]
         return {"logits": logits, "prob": jax.nn.sigmoid(logits)}, new_state
