@@ -20,6 +20,19 @@ collectives (verified against single-device grads in tests/test_parallel):
     (ops/embedding.make_sharded_lookup) produces a model-invariant value,
     so its transpose is the identity: table gradients stay shard-local
     with zero extra communication (the EP-style property);
+
+    Design note — psum vs all-to-all routing: the masked-gather+psum
+    lookup moves the full [B_local, F, K] embedding block over the model
+    axis ((M-1)/M of it per link). Id-routed all-to-all would move only
+    ~2/M of that, but jax.lax.all_to_all needs EQUAL split sizes, so an
+    exact implementation must provision worst-case per-shard capacity
+    (degenerating to >= psum traffic) or adopt MoE-style capacity
+    dropping — unacceptable for exact-parity training. psum is exact,
+    load-balanced by construction (every shard does identical masked
+    compute regardless of id skew — relevant because frequency-sorted
+    Criteo ids concentrate hot rows in low shards), and at CTR embedding
+    widths (K=16) the psum block is ~5 MB per step — microseconds on ICI.
+    Revisit with a capacity-managed a2a only for K >= 128 regimes;
   * the explicit L2 term is differentiated SEPARATELY from the data loss:
     it is data-invariant, and adding it to the data-varying loss before
     grad() would route its cotangent through a pvary whose transpose is a

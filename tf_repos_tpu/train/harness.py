@@ -187,7 +187,12 @@ class Harness:
         elif fmt == "aliccp":
             ds = AliccpDataset(files, multi_hot_pad=cfg.multi_hot_pad, **common)
         else:
-            ds = LibsvmDataset(files, field_size=cfg.field_size, **common)
+            # --num_threads (reference resource flag, DeepFM.py:40) sizes
+            # the parallel-parse pool of the native loader
+            workers = max(1, min(cfg.num_threads, (os.cpu_count() or 4) - 1))
+            ds = LibsvmDataset(
+                files, field_size=cfg.field_size, parse_workers=workers, **common
+            )
         it: Iterable = Prefetcher(ds, size=cfg.prefetch_batches)
         if jax.process_count() > 1:
             # every host must dispatch the same number of collective steps
