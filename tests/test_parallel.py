@@ -164,3 +164,17 @@ def test_multihot_models_sharded_step(model_name):
     mesh = make_mesh(data=4, model=2)
     state, specs, losses = _train_n_steps_sharded(cfg, model, [b], mesh)
     np.testing.assert_allclose(ref_losses, losses, rtol=2e-4, atol=2e-5)
+
+
+def test_batch_norm_under_mesh():
+    """BN on the sharded path: per-shard batch stats are pmean'd over the
+    data axis so the carried state stays replicated (sync-BN-lite); the
+    step must run, produce finite loss, and move the moving stats."""
+    cfg = _cfg(model="DeepFM", batch_norm=True, dropout="0.8,0.8", optimizer="Adam")
+    model = create_model(cfg)
+    mesh = make_mesh(data=4, model=2)
+    batches = [_batch(cfg, seed=s) for s in range(2)]
+    state, specs, losses = _train_n_steps_sharded(cfg, model, batches, mesh)
+    assert all(np.isfinite(l) for l in losses)
+    mean0 = np.asarray(state["mstate"]["mlp"]["layers"][0]["bn"]["mean"])
+    assert np.abs(mean0).sum() > 0  # moving stats moved off init
