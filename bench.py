@@ -13,16 +13,58 @@ vs_baseline is value / 2000 — how many times faster one TPU chip trains
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 REFERENCE_EXAMPLES_PER_SEC = 2000.0  # 0.5 ms/example serving forward
 
 
 def main() -> None:
+    """Run the measurement in a subprocess with a timeout and retries:
+    the TPU tunnel in this environment intermittently stalls (any device
+    call can hang indefinitely), and the driver invokes this exactly
+    once per round."""
+    here = os.path.abspath(__file__)
+    last_err = ""
+    for attempt in range(4):
+        try:
+            r = subprocess.run(
+                [sys.executable, here, "--inner"],
+                capture_output=True,
+                text=True,
+                timeout=480,
+                cwd=os.path.dirname(here),
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt + 1}: timed out (device tunnel stall)"
+            print(f"WARN: {last_err}", file=sys.stderr)
+            continue
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        last_err = f"attempt {attempt + 1}: rc={r.returncode} {r.stderr[-500:]}"
+        print(f"WARN: {last_err}", file=sys.stderr)
+        time.sleep(30)
+    print(
+        json.dumps(
+            {
+                "metric": "deepfm_criteo_train_examples_per_sec_1chip",
+                "value": 0,
+                "unit": "examples/sec",
+                "vs_baseline": 0,
+                "error": f"device unreachable: {last_err}",
+            }
+        )
+    )
+
+
+def _inner() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     from tf_repos_tpu.config import Config
     from tf_repos_tpu.data.synthetic import synthetic_criteo_batch
     from tf_repos_tpu.models import create_model
@@ -83,4 +125,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        _inner()
+    else:
+        main()
