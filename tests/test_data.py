@@ -198,3 +198,41 @@ def test_native_aliccp_parser_matches_python(tmp_path):
         assert set(got) == set(want)
         for k in want:
             np.testing.assert_array_equal(got[k], want[k], err_msg=f"key {k} pad {pad}")
+
+
+def test_native_parser_malformed_tokens_resync(tmp_path):
+    """Malformed tokens must not stall the C++ cursor: one bad token
+    cannot mangle the remaining columns of the line."""
+    from tf_repos_tpu.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    lines = [
+        b"1 xx 2:0.5 3:1",       # leading junk token skipped, rest parsed
+        b"0 4:1x 5:2",           # trailing junk in token, cursor resyncs
+        b"1 6:1e-2 7:2E3",       # scientific notation
+    ]
+    ids, vals, labels = native.parse_libsvm_lines(lines, 2)
+    np.testing.assert_array_equal(ids, [[2, 3], [4, 5], [6, 7]])
+    np.testing.assert_allclose(vals, [[0.5, 1.0], [1.0, 2.0], [0.01, 2000.0]], rtol=1e-6)
+
+
+def test_native_aliccp_scinote_and_extra_colons():
+    """aliccp C++ parser: e-notation vals parse like Python float();
+    tokens with >3 colon-parts are dropped (ragged.py rule)."""
+    from tf_repos_tpu.data import native, ragged
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    lines = [b"s0,1,0,205:7:1e-2 109_14:44:2E1 206:5:1.0:junk 207:9:0.5"]
+    want = ragged.parse_aliccp_lines(lines, 4)
+    got = native.parse_aliccp_lines(lines, 4)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    assert got["feat_ids"][0][9] == 7  # 205 slot
+    # 206 dropped (4 parts) -> default 16; 207 kept
+    assert got["a_catids"][0] == 16 and got["a_shopids"][0] == 9

@@ -25,6 +25,16 @@ inline const char* parse_f(const char* p, const char* end, float* out) {
     ++p; double s = 0.1;
     while (p < end && *p >= '0' && *p <= '9') { v += (*p - '0') * s; s *= 0.1; ++p; }
   }
+  if (p < end && (*p == 'e' || *p == 'E')) {  // scientific notation, like
+    ++p;                                      // Python float() in ragged.py
+    bool eneg = false;
+    if (p < end && (*p == '-' || *p == '+')) { eneg = (*p == '-'); ++p; }
+    int ex = 0;
+    while (p < end && *p >= '0' && *p <= '9') { ex = ex * 10 + (*p - '0'); ++p; }
+    double f = 1.0;
+    for (int i = 0; i < ex; ++i) f *= 10.0;
+    v = eneg ? v / f : v * f;
+  }
   *out = static_cast<float>(neg ? -v : v);
   return p;
 }
@@ -148,6 +158,10 @@ int64_t parse_aliccp(const char* data, int64_t data_len, const int64_t* offsets,
       float fval = 1.0f;
       ++p;
       p = parse_f(p, end, &fval);
+      if (p < end && *p == ':') {  // >3 parts: ragged.py drops the token
+        while (p < end && *p != ' ' && *p != '\n') ++p;
+        continue;
+      }
       int cs = common_slot(fstart, flen);
       if (cs > 0) {
         fi[cs - 1] = fid;

@@ -111,6 +111,18 @@ int64_t parse_libsvm(const char* data, int64_t data_len,
     while (col < field_size) {
       p = skip_spaces(p, end);
       if (p >= end || *p == '\n') break;
+      // a token must START with a digit or a sign; anything else is
+      // malformed — skip it WITHOUT consuming a column (a cursor that
+      // never advanced would otherwise fill every remaining column
+      // with garbage)
+      char c0 = *p;
+      bool leads_num =
+          (c0 >= '0' && c0 <= '9') ||
+          ((c0 == '-' || c0 == '+') && p + 1 < end && p[1] >= '0' && p[1] <= '9');
+      if (!leads_num) {
+        while (p < end && *p != ' ' && *p != '\t' && *p != '\n') ++p;
+        continue;
+      }
       int32_t fid = 0;
       p = parse_int(p, end, &fid);
       float fval = 1.0f;
@@ -123,6 +135,9 @@ int64_t parse_libsvm(const char* data, int64_t data_len,
       row_ids[col] = fid;
       row_vals[col] = fval;
       ++col;
+      // always resync to the next whitespace so trailing junk in a
+      // token (e.g. '5:1x') cannot stall the cursor
+      while (p < end && *p != ' ' && *p != '\t' && *p != '\n') ++p;
     }
     // truncate surplus features: skip to end of line
   }

@@ -5,15 +5,9 @@
         --feature_size=117581 --field_size=39 --data_dir=... --model_dir=...
 """
 
-import os
+from tf_repos_tpu.utils.platform import honor_jax_platforms_env
 
-# Honor JAX_PLATFORMS before any backend initializes: some environments
-# register a platform plugin via sitecustomize that overrides the env var,
-# so the config must be set explicitly (same pattern as tests/conftest.py).
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_jax_platforms_env()
 
 from tf_repos_tpu.config import parse_config
 from tf_repos_tpu.train.harness import run_task

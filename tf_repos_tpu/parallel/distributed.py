@@ -56,14 +56,7 @@ def init_distributed(cfg: Config) -> bool:
 
 def is_chief() -> bool:
     """The checkpoint/log-writing process (reference chief role,
-    DeepFM.py:267-269)."""
+    DeepFM.py:267-269). Note: cfg.batch_size is PER-HOST — the global
+    batch is process_count() * batch_size (each host's loader feeds its
+    own shard of that global batch)."""
     return jax.process_index() == 0
-
-
-def local_batch_slice(global_batch: int) -> int:
-    """Per-host batch size under equal sharding of the global batch."""
-    n = jax.process_count()
-    assert global_batch % n == 0, (
-        f"global batch {global_batch} not divisible by {n} hosts"
-    )
-    return global_batch // n

@@ -301,12 +301,11 @@ def build_sharded_eval_step(model: CtrModel, mesh: Mesh, specs: Dict[str, Any]):
         "auc": {n: jax.tree.map(lambda _: P(), M.AucState.init()) for n in names},
     }
 
-    def step(params, mstate, acc, batch):
+    def step(params, mstate, acc, l2_val, batch):
         out, _ = model.apply(params, mstate, batch, train=False, lookup=lookup)
         per, w = model_per_example_loss(model, out, batch)
         # the reference's reported eval loss is the EstimatorSpec loss,
         # which includes the L2 term — accumulate it weight-proportionally
-        l2_val = _split_l2(model, pspec)(params)
         local_loss = jnp.sum((per + l2_val) * w)
         local_w = jnp.sum(w)
         new_auc = {}
@@ -321,16 +320,37 @@ def build_sharded_eval_step(model: CtrModel, mesh: Mesh, specs: Dict[str, Any]):
             "auc": new_auc,
         }
 
-    def wrapped(params, mstate, acc, batch):
-        return shard_map(
-            step,
-            mesh=mesh,
-            in_specs=(pspec, mspec, acc_spec, batch_spec(batch)),
-            out_specs=acc_spec,
+    # the global L2 is constant over an eval pass — compute it once per
+    # params object instead of re-reducing the whole table every batch
+    l2_jit = jax.jit(
+        shard_map(
+            _split_l2(model, pspec), mesh=mesh, in_specs=(pspec,), out_specs=P(),
             check_vma=True,
-        )(params, mstate, acc, batch)
+        )
+    )
+    l2_cache: Dict[int, Any] = {}
+    inner_cache: Dict[Any, Any] = {}
 
-    return jax.jit(wrapped, donate_argnums=(2,))
+    def wrapped(params, mstate, acc, batch):
+        key = id(params)
+        if key not in l2_cache:
+            l2_cache.clear()
+            l2_cache[key] = l2_jit(params)
+        bkey = tuple(sorted((k, tuple(np.shape(v))) for k, v in batch.items()))
+        if bkey not in inner_cache:
+            inner_cache[bkey] = jax.jit(
+                shard_map(
+                    step,
+                    mesh=mesh,
+                    in_specs=(pspec, mspec, acc_spec, P(), batch_spec(batch)),
+                    out_specs=acc_spec,
+                    check_vma=True,
+                ),
+                donate_argnums=(2,),
+            )
+        return inner_cache[bkey](params, mstate, acc, l2_cache[key], batch)
+
+    return wrapped
 
 
 def build_sharded_predict_step(model: CtrModel, mesh: Mesh, specs: Dict[str, Any]):

@@ -262,8 +262,16 @@ class Harness:
                 losses = losses[-1:]
                 if cfg.save_checkpoints_steps:
                     ckpt.save(step, dict(state, step=step))
+            # Periodic eval is wall-clock-triggered (reference EvalSpec
+            # throttle_secs). Wall clocks differ ACROSS HOSTS, so in
+            # multi-process runs hosts would enter the collective eval at
+            # different step counts and deadlock on mismatched collective
+            # programs — skip it there (final eval after the synchronized
+            # loop is safe; a dedicated evaluator can run task_type=
+            # eval_loop against the shared model_dir instead).
             if (
                 cfg.eval_throttle_secs
+                and jax.process_count() == 1
                 and time.time() - last_eval > cfg.eval_throttle_secs
             ):
                 metrics = self._maybe_eval(state["params"], state["mstate"])
@@ -339,7 +347,18 @@ class Harness:
 
     # ----------------------------------------------------------------- infer
     def infer(self, out_path: Optional[str] = None) -> str:
-        """Streaming predict over te files -> pred.txt (DeepFM.py:349-353)."""
+        """Streaming predict over te files -> pred.txt (DeepFM.py:349-353).
+
+        Single-process only (like the reference's infer task): under
+        jax.distributed every host would read the full te set (only tr
+        is host-sharded), duplicate predictions, and race on pred.txt —
+        run infer as its own single process against the shared model_dir
+        (Orbax reshards the checkpoint on restore)."""
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                "task_type=infer runs single-process; point a separate "
+                "process at the shared model_dir instead"
+            )
         cfg = self.cfg
         ckpt = CheckpointManager(self.model_dir, keep=cfg.keep_checkpoint_max)
         ts = self.restore_or_init(ckpt)
