@@ -58,6 +58,24 @@ def test_exact_auc_with_ties(rng):
     assert abs(got - want) < 1e-5
 
 
+def test_exact_auc_weighted_matches_sklearn(rng):
+    """Regression: weighted ranks must be cumulative WEIGHT, not index —
+    zero-weight (padding) rows must occupy no rank mass (VERDICT r1 §weak 5)."""
+    n = 800
+    labels = (rng.random(n) < 0.3).astype(np.float32)
+    preds = np.round(rng.random(n).astype(np.float32), 2)  # ties too
+    # binary mask weights (batch padding)
+    mask = (rng.random(n) < 0.7).astype(np.float32)
+    got = float(M.exact_auc(jnp.array(labels), jnp.array(preds), jnp.array(mask)))
+    want = roc_auc_score(labels[mask > 0], preds[mask > 0])
+    assert abs(got - want) < 1e-5
+    # general fractional weights
+    w = rng.choice([0.0, 0.5, 1.0, 2.0], size=n).astype(np.float32)
+    got = float(M.exact_auc(jnp.array(labels), jnp.array(preds), jnp.array(w)))
+    want = roc_auc_score(labels[w > 0], preds[w > 0], sample_weight=w[w > 0])
+    assert abs(got - want) < 1e-5
+
+
 def test_log_loss_matches_sklearn(labeled_preds):
     labels, preds = labeled_preds
     got = float(M.log_loss(jnp.array(labels), jnp.array(preds)))

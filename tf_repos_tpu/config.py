@@ -82,6 +82,10 @@ class Config:
     shuffle_buffer: int = 256  # reference input_fn shuffle window (DeepFM.py:88)
     prefetch_batches: int = 8
     eval_throttle_secs: int = 1200  # EvalSpec throttle (DeepFM.py:345)
+    # step cadence at which the eval-throttle clock is consulted; every
+    # host reaches these boundaries at the same step count, making the
+    # (broadcast) eval decision deterministic across hosts
+    eval_decision_steps: int = 100
     save_checkpoints_steps: int = 0  # 0: only save per epoch; wide_n_deep.py:129 sets it to log_steps
     keep_checkpoint_max: int = 5
     # field-partitioned id space "off:size,off:size,..." or

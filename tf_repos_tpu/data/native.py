@@ -29,20 +29,46 @@ _tried = False
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_LIB_PATH) and all(
-        os.path.getmtime(_LIB_PATH) >= os.path.getmtime(s) for s in _SRCS
-    ):
+    """Compile the parsers, multi-process safe.
+
+    Concurrent processes (run_dist.sh workers, multi-host runs sharing a
+    checkout) must not race g++ on the same output path — a torn .so
+    would fail CDLL for every process and latch the slow NumPy fallback.
+    Build to a per-process temp name and os.rename() into place (atomic
+    on the same filesystem), serialized by an flock so at most one
+    compile runs."""
+    if _is_fresh(_LIB_PATH):
         return _LIB_PATH
+    lockfile = _LIB_PATH + ".lock"
     try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", _LIB_PATH],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return _LIB_PATH
+        import fcntl
+
+        with open(lockfile, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                if _is_fresh(_LIB_PATH):  # another process built it
+                    return _LIB_PATH
+                tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", tmp],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                os.rename(tmp, _LIB_PATH)
+                return _LIB_PATH
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
     except Exception:
         return None
+
+
+def _is_fresh(path: str) -> bool:
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return False
+    return all(mtime >= os.path.getmtime(s) for s in _SRCS)
 
 
 def _load() -> Optional[ctypes.CDLL]:

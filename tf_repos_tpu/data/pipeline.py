@@ -60,8 +60,15 @@ def synchronized_iterator(
     more batches dispatches another psum-carrying step while the others
     have moved on to the final checkpoint barrier. Hosts agree on
     min(items buffered) every ``sync_every`` items via a host-level
-    allgather; surplus tail batches on longer hosts are dropped (at most
-    sync_every-1 per epoch). Single-process: plain passthrough.
+    allgather.
+
+    Coverage caveat: the stream stops for ALL hosts when the SHORTEST
+    host's entire multi-epoch stream runs out — total coverage is
+    nproc x shortest-host stream. Longer hosts silently lose their whole
+    surplus (round-robin ``shard_files_for_host`` does no size
+    balancing), and the drop happens once over the full run, not per
+    epoch. Discarded buffered batches are logged so the loss is visible.
+    Single-process: plain passthrough.
     """
     import jax
 
@@ -97,6 +104,12 @@ def synchronized_iterator(
         if agreed > sync_every:  # everyone has a full window and more
             yield from buf
             continue
+        if len(buf) > agreed:
+            print(
+                f"INFO: synchronized_iterator: dropping {len(buf) - agreed} "
+                f"buffered batch(es) — another host's stream is exhausted "
+                f"(coverage = shortest host's stream)"
+            )
         yield from buf[:agreed]
         return
 
@@ -110,5 +123,14 @@ def shard_files_for_host(
     epochs, like the reference's async workers racing one file list) —
     shard your data into >= num_hosts files for a true split."""
     if len(files) < process_count:
+        import warnings
+
+        warnings.warn(
+            f"shard_files_for_host: only {len(files)} input file(s) for "
+            f"{process_count} hosts — every host will read ALL files, so "
+            f"each example is trained on {process_count}x per epoch. Split "
+            f"the data into >= {process_count} files for a true shard.",
+            stacklevel=2,
+        )
         return list(files)
     return [f for i, f in enumerate(files) if i % process_count == process_index]

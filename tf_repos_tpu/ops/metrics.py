@@ -75,28 +75,37 @@ def auc_finalize(state: AucState) -> jnp.ndarray:
 def exact_auc(
     labels: jax.Array, preds: jax.Array, weights: Optional[jax.Array] = None
 ) -> jnp.ndarray:
-    """Exact ROC-AUC (Mann-Whitney U with tie correction), O(n log n)."""
+    """Exact ROC-AUC (weighted Mann-Whitney U with tie correction), O(n log n).
+
+    Ranks are cumulative WEIGHTS, not indices, so zero-weight rows (batch
+    padding masks) occupy no rank mass:
+
+        U = sum_{i in pos} w_i * r_i - (W_pos^2 + sum_{i in pos} w_i^2) / 2
+        r_i = A_i + (E_i + w_i) / 2
+
+    with A_i the total weight strictly below p_i and E_i the total weight
+    tied at p_i (self included). For unit weights this reduces to the
+    classic midrank formula U = sum(rank) - n_pos(n_pos+1)/2; validated
+    against sklearn's sample_weight AUC in tests.
+    """
     if weights is None:
         weights = jnp.ones_like(preds)
     order = jnp.argsort(preds)
     p = preds[order]
-    y = labels[order] * weights[order]
-    w = weights[order]
-    # average ranks with ties: rank = average of min/max index of equal block
+    w = weights[order].astype(jnp.float32)
+    y = labels[order].astype(jnp.float32)
     n = p.shape[0]
-    idx = jnp.arange(n, dtype=jnp.float32)
-    # For ties use midpoint of cumulative positions of equal values.
     is_new = jnp.concatenate([jnp.array([True]), p[1:] != p[:-1]])
     grp = jnp.cumsum(is_new) - 1
-    grp_first = jax.ops.segment_sum(  # first index of each group via min
-        jnp.where(is_new, idx, 0.0), grp, num_segments=n
-    )
-    grp_count = jax.ops.segment_sum(jnp.ones_like(idx), grp, num_segments=n)
-    mid_rank = grp_first[grp] + (grp_count[grp] - 1.0) / 2.0 + 1.0  # 1-based
-    pos = jnp.sum(y)
-    negw = jnp.sum(w) - pos
-    rank_sum = jnp.sum(mid_rank * y)
-    return (rank_sum - pos * (pos + 1.0) / 2.0) / (pos * negw + 1e-12)
+    grp_w = jax.ops.segment_sum(w, grp, num_segments=n)  # E per group
+    cum_grp_w = jnp.cumsum(grp_w)
+    below = cum_grp_w - grp_w  # A per group: weight strictly below
+    r = below[grp] + (grp_w[grp] + w) / 2.0
+    wpos = w * y
+    W_pos = jnp.sum(wpos)
+    W_neg = jnp.sum(w) - W_pos
+    U = jnp.sum(wpos * r) - (W_pos * W_pos + jnp.sum(wpos * wpos)) / 2.0
+    return U / (W_pos * W_neg + 1e-12)
 
 
 def log_loss(

@@ -46,7 +46,7 @@ collectives (verified against single-device grads in tests/test_parallel):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -328,14 +328,17 @@ def build_sharded_eval_step(model: CtrModel, mesh: Mesh, specs: Dict[str, Any]):
             check_vma=True,
         )
     )
-    l2_cache: Dict[int, Any] = {}
+    # Cache the L2 for the CURRENT params tree by holding the tree itself
+    # and comparing identity. (An id()-keyed cache would be a landmine:
+    # CPython recycles addresses, so a freed params dict from an earlier
+    # eval pass could alias a stale L2 value for fresh weights.)
+    l2_cache: List[Any] = [None, None]  # [params_obj, l2_value]
     inner_cache: Dict[Any, Any] = {}
 
     def wrapped(params, mstate, acc, batch):
-        key = id(params)
-        if key not in l2_cache:
-            l2_cache.clear()
-            l2_cache[key] = l2_jit(params)
+        if l2_cache[0] is not params:
+            l2_cache[0] = params
+            l2_cache[1] = l2_jit(params)
         bkey = tuple(sorted((k, tuple(np.shape(v))) for k, v in batch.items()))
         if bkey not in inner_cache:
             inner_cache[bkey] = jax.jit(
@@ -348,7 +351,7 @@ def build_sharded_eval_step(model: CtrModel, mesh: Mesh, specs: Dict[str, Any]):
                 ),
                 donate_argnums=(2,),
             )
-        return inner_cache[bkey](params, mstate, acc, l2_cache[key], batch)
+        return inner_cache[bkey](params, mstate, acc, l2_cache[1], batch)
 
     return wrapped
 

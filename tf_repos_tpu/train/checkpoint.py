@@ -33,6 +33,11 @@ class CheckpointManager:
     def save(self, step: int, tree: Any, force: bool = False) -> bool:
         return self._mgr.save(step, args=ocp.args.StandardSave(tree), force=force)
 
+    def should_save(self, step: int) -> bool:
+        """True when save_interval_steps would accept this step (cheap
+        pre-check so the harness can skip building the save tree)."""
+        return bool(self._mgr.should_save(step))
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

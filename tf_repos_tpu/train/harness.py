@@ -259,25 +259,36 @@ class Harness:
                         {"loss": mean_loss, "examples_per_sec": rate * cfg.batch_size},
                     )
                 last_log = now
-                losses = losses[-1:]
-                if cfg.save_checkpoints_steps:
-                    ckpt.save(step, dict(state, step=step))
-            # Periodic eval is wall-clock-triggered (reference EvalSpec
-            # throttle_secs). Wall clocks differ ACROSS HOSTS, so in
-            # multi-process runs hosts would enter the collective eval at
-            # different step counts and deadlock on mismatched collective
-            # programs — skip it there (final eval after the synchronized
-            # loop is safe; a dedicated evaluator can run task_type=
-            # eval_loop against the shared model_dir instead).
-            if (
-                cfg.eval_throttle_secs
-                and jax.process_count() == 1
-                and time.time() - last_eval > cfg.eval_throttle_secs
-            ):
-                metrics = self._maybe_eval(state["params"], state["mstate"])
-                if writer and metrics:
-                    writer.write(step, metrics, kind="eval")
-                last_eval = time.time()
+                losses = []
+            # Checkpoint cadence is independent of the log cadence:
+            # save_checkpoints_steps < log_steps must not silently degrade
+            # to log_steps. Orbax's save_interval_steps does the throttling;
+            # should_save() is the cheap pre-check.
+            if cfg.save_checkpoints_steps and ckpt.should_save(step):
+                ckpt.save(step, dict(state, step=step))
+            # Periodic eval (reference EvalSpec throttle_secs). Decisions
+            # are taken only at step boundaries that every host reaches at
+            # the same count, and in multi-process runs host 0's wall-clock
+            # verdict is broadcast so all hosts enter the collective eval
+            # program together (raw per-host clocks would desync the
+            # collective step counts and deadlock).
+            # (eval_throttle_secs < 0 -> eval at every decision boundary;
+            # used by tests for a clock-free deterministic cadence)
+            if cfg.eval_throttle_secs and step % cfg.eval_decision_steps == 0:
+                want = time.time() - last_eval > cfg.eval_throttle_secs
+                if jax.process_count() > 1:
+                    from jax.experimental import multihost_utils
+
+                    want = bool(
+                        multihost_utils.broadcast_one_to_all(
+                            jnp.array(want, jnp.int32)
+                        )
+                    )
+                if want:
+                    metrics = self._maybe_eval(state["params"], state["mstate"])
+                    if writer and metrics:
+                        writer.write(step, metrics, kind="eval")
+                    last_eval = time.time()
 
         if profiler:
             profiler.__exit__()
