@@ -1,0 +1,240 @@
+"""Lazy touched-rows table updates (train/sparse.py + data/sparse_batch.py).
+
+Exactness contract:
+  * optimizers where untouched rows are a fixed point of the dense update
+    (SGD/Adagrad/FTRL with l2=0: zero grad -> zero step) must match the
+    DENSE path bit-for-bit;
+  * Adam (dense moves previously-touched rows via decayed momentum) must
+    match a dense-materialized emulation of LAZY semantics exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tf_repos_tpu.config import Config
+from tf_repos_tpu.data.sparse_batch import SparseBatchMapper
+from tf_repos_tpu.data.synthetic import synthetic_criteo_batch
+from tf_repos_tpu.models import create_model
+from tf_repos_tpu.train import loop as L
+from tf_repos_tpu.train import sparse as SP
+
+
+def _cfg(**kw):
+    base = dict(
+        model="DeepFM",
+        feature_size=300,
+        field_size=39,
+        embedding_size=4,
+        deep_layers="8,4",
+        dropout="1.0,1.0",
+        batch_size=16,
+        learning_rate=0.05,
+        l2_reg=0.0,
+        optimizer="GD",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _batches(cfg, n, seed0=0):
+    """Batches whose id coverage is a strict subset of the vocab, so lazy
+    vs dense differences on untouched rows are observable."""
+    out = []
+    for i in range(n):
+        b = synthetic_criteo_batch(
+            np.random.default_rng(seed0 + i), cfg.batch_size, cfg.feature_size
+        )
+        out.append(b)
+    return out
+
+
+def _run_sparse(cfg, batches, steps_rng=100):
+    model = create_model(cfg)
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    sopt = SP.make_sparse_row_optimizer(cfg.optimizer, cfg.learning_rate)
+    params, mstate = model.init(jax.random.PRNGKey(cfg.seed))
+    opt_state = SP.init_opt_state(model, tx, sopt, params)
+    step = SP.build_sparse_train_step(model, tx, sopt)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    losses = []
+    for i, b in enumerate(batches):
+        params, opt_state, mstate, loss = step(
+            params, opt_state, mstate, mapper(b), jax.random.PRNGKey(steps_rng + i)
+        )
+        losses.append(float(loss))
+    return model, params, opt_state, losses
+
+
+def _run_dense(cfg, batches, steps_rng=100):
+    model = create_model(cfg)
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    params, mstate = model.init(jax.random.PRNGKey(cfg.seed))
+    opt_state = tx.init(params)
+    step = L.build_train_step(model, tx)
+    losses = []
+    for i, b in enumerate(batches):
+        params, opt_state, mstate, loss = step(
+            params, opt_state, mstate, b, jax.random.PRNGKey(steps_rng + i)
+        )
+        losses.append(float(loss))
+    return model, params, opt_state, losses
+
+
+@pytest.mark.parametrize("opt", ["GD", "Adagrad"])
+def test_sparse_matches_dense_fixed_point_optimizers(opt):
+    """With l2=0 an untouched row has zero gradient and these optimizers
+    leave it exactly in place -> sparse must equal dense bit-for-bit.
+    (NOT true of FTRL — dense FTRL recomputes w from (z,n) and zeroes
+    never-touched rows at step 1; the lazy path keeps their init values,
+    matching the reference's sparse PS updates — see the emulation test.)"""
+    cfg = _cfg(optimizer=opt)
+    batches = _batches(cfg, 3)
+    _, p_sparse, _, l_sparse = _run_sparse(cfg, batches)
+    _, p_dense, _, l_dense = _run_dense(cfg, batches)
+    np.testing.assert_allclose(l_sparse, l_dense, rtol=1e-6)
+    flat_s = jax.tree.leaves(p_sparse)
+    flat_d = jax.tree.leaves(p_dense)
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("opt", ["Adam", "Adagrad", "ftrl", "GD", "Momentum"])
+def test_sparse_matches_dense_lazy_emulation(opt):
+    """Sparse path == a dense-materialized emulation of LAZY semantics:
+    run the DENSE optimizer (train/optimizers.py, the reference's exact
+    hyperparameters) on the full table each step, then keep the new
+    value/state ONLY for rows touched this step. Covers touched-rows-only
+    L2 (l2_reg > 0)."""
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    cfg = _cfg(optimizer=opt, l2_reg=0.01)
+    model = create_model(cfg)
+    batches = _batches(cfg, 4)
+    table_name = next(iter(model.sparse_slots()))
+
+    _, p_sparse, o_sparse, _ = _run_sparse(cfg, batches)
+
+    # ---- dense-materialized lazy emulation
+    params, mstate = model.init(jax.random.PRNGKey(cfg.seed))
+    tx = make_optimizer(opt, cfg.learning_rate)
+    rest = {k: v for k, v in params.items() if k != table_name}
+    dense_state = tx.init(rest)
+    table = params[table_name]
+    table_tx = make_optimizer(opt, cfg.learning_rate)
+    table_state = table_tx.init({table_name: table})
+
+    def mask_tree(new, old, tm):
+        """Row-masked merge: table-shaped leaves keep old values on
+        untouched rows; scalars (e.g. Adam's count) take the new value."""
+        def f(n, o):
+            if hasattr(n, "shape") and n.shape[: tm.ndim] == tm.shape:
+                m = tm.reshape(tm.shape + (1,) * (n.ndim - tm.ndim))
+                return jnp.where(m, n, o)
+            return n
+        return jax.tree.map(f, new, old)
+
+    @jax.jit
+    def emu_step(table, table_state, rest, dense_state, mstate, batch, rng):
+        # the mapper force-includes id 0 (remap-position invariant), so
+        # row 0 is touched every step by contract
+        touched = (
+            jnp.zeros((cfg.feature_size,), bool)
+            .at[batch["feat_ids"].reshape(-1)].set(True)
+            .at[0].set(True)
+        )
+
+        def loss_fn(table, rest):
+            p = dict(rest)
+            p[table_name] = table
+            out, new_mstate = model.apply(p, mstate, batch, train=True, rng=rng)
+            per = model.per_example_loss(out, batch)
+            mask = batch["mask"]
+            data = jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+            # touched-rows-only L2 — what the sparse path's l2_loss sees
+            l2 = cfg.l2_reg * 0.5 * jnp.sum(
+                jnp.square(table) * touched[:, None].astype(table.dtype)
+            )
+            return data + l2, new_mstate
+
+        (loss, new_mstate), (g_t, g_r) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(table, rest)
+        upd, new_dense = tx.update(g_r, dense_state, rest)
+        rest = optax.apply_updates(rest, upd)
+        t_upd, new_tstate = table_tx.update(
+            {table_name: g_t}, table_state, {table_name: table}
+        )
+        new_table = optax.apply_updates({table_name: table}, t_upd)[table_name]
+        table = jnp.where(touched[:, None], new_table, table)
+        table_state = mask_tree(new_tstate, table_state, touched)
+        return table, table_state, rest, new_dense, new_mstate, loss
+
+    for i, b in enumerate(batches):
+        table, table_state, rest, dense_state, mstate, _ = emu_step(
+            table, table_state, rest, dense_state, mstate, b,
+            jax.random.PRNGKey(100 + i),
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(p_sparse[table_name]), np.asarray(table), rtol=1e-5, atol=1e-7
+    )
+    for a, b_ in zip(
+        jax.tree.leaves(rest), jax.tree.leaves({k: p_sparse[k] for k in rest})
+    ):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+
+def test_mapper_preserves_lookup_and_zero_position():
+    """table[original_ids] == rows[remapped_ids]; id 0 keeps position 0
+    so `ids > 0` multi-hot masking survives the remap."""
+    cfg = _cfg()
+    model = create_model(cfg)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    rng = np.random.default_rng(0)
+    b = synthetic_criteo_batch(rng, 8, cfg.feature_size)
+    orig_ids = np.asarray(b["feat_ids"]).copy()
+    mb = mapper(b)
+    table_name = next(iter(model.sparse_slots()))
+    u = mb[SP.UIDS_PREFIX + table_name]
+    assert u.shape[0] == orig_ids.size + 1
+    assert u[0] == 0  # forced zero row
+    table = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(0), (cfg.feature_size, 3))
+    )
+    rows = np.asarray(SP.take_rows(jnp.array(table), jnp.array(u)))
+    np.testing.assert_allclose(rows[mb["feat_ids"]], table[orig_ids], rtol=1e-6)
+    # remapped 0 <-> original 0, everywhere
+    np.testing.assert_array_equal(mb["feat_ids"] == 0, orig_ids == 0)
+    # sentinel rows gather as zeros
+    np.testing.assert_array_equal(rows[-1], np.zeros(3, np.float32))
+
+
+def test_esmm_sparse_smoke_and_loss_parity():
+    """ESMM (the 4.5M-vocab reference pain point, scaled down): sparse
+    step loss == dense step loss with l2=0 and SGD (data loss identical,
+    untouched rows are fixed points)."""
+    cfg = Config(
+        model="ESMM", feature_size=400, field_size=11, embedding_size=4,
+        deep_layers="8,4", dropout="1.0,1.0", batch_size=8, learning_rate=0.05,
+        l2_reg=0.0, optimizer="GD", multi_hot_pad=4,
+    )
+    from tf_repos_tpu.data.synthetic import synthetic_aliccp_batch
+
+    batches = [
+        synthetic_aliccp_batch(
+            np.random.default_rng(i), 8, cfg.feature_size, multi_hot_pad=4
+        )
+        for i in range(3)
+    ]
+    model, p_sparse, _, l_sparse = _run_sparse(cfg, batches)
+    _, p_dense, _, l_dense = _run_dense(cfg, batches)
+    np.testing.assert_allclose(l_sparse, l_dense, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_sparse), jax.tree.leaves(p_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)

@@ -92,6 +92,12 @@ class Config:
     # "auto:<feature_map path>" — enables the Pallas field-block scatter
     # for table gradients on the single-chip path (ops/pallas_embedding.py)
     field_blocks: str = ""
+    # lazy touched-rows optimizer updates for big embedding tables
+    # (train/sparse.py): the async-PS behavior of the reference
+    # (DeepCvrMTL.py:122) — only rows present in the batch move, the
+    # backward never materializes a dense [V,K] cotangent. Single-chip
+    # path; recommended at vocab >~ 1M.
+    sparse_table_update: bool = False
     # padded length for multi-hot (ragged) fields; the reference carries these
     # as VarLen sparse tensors (DIN.py:65-76) — on TPU they become fixed-shape
     # padded arrays with id==0 masking (DIN.py:157 mask convention).

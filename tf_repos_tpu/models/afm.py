@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
+    SparseSlot,
     MODEL_AXIS_SPEC,
     Batch,
     CtrModel,
@@ -106,3 +107,6 @@ class AFM(CtrModel):
         spec = super().param_spec()
         spec["wv"] = MODEL_AXIS_SPEC
         return spec
+
+    def sparse_slots(self):
+        return {"wv": SparseSlot(("feat_ids",), self.cfg.feature_size)}

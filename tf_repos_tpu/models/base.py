@@ -19,7 +19,7 @@ same model math runs unsharded and sharded.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,15 @@ Outputs = Dict[str, jax.Array]
 MODEL_AXIS_SPEC = P("model", None)  # row-sharded [V,K] table
 MODEL_AXIS_SPEC_1D = P("model")  # row-sharded [V] table
 REPLICATED = P()
+
+
+class SparseSlot(NamedTuple):
+    """One big embedding table eligible for lazy touched-rows updates
+    (train/sparse.py): the batch fields holding ids into it, and its
+    vocab size (rows)."""
+
+    fields: Tuple[str, ...]
+    vocab: int
 
 
 class CtrModel:
@@ -73,6 +82,12 @@ class CtrModel:
         everything replicated; models with big tables override."""
         params, _ = jax.eval_shape(lambda: self.init(jax.random.PRNGKey(0)))
         return jax.tree.map(lambda _: REPLICATED, params)
+
+    def sparse_slots(self) -> Dict[str, SparseSlot]:
+        """Tables eligible for lazy touched-rows optimizer updates
+        (--sparse_table_update; train/sparse.py). Empty dict: the model
+        has no huge tables / doesn't support the sparse path."""
+        return {}
 
     # -------- provided
     def loss(

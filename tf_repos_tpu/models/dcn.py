@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
+    SparseSlot,
     MODEL_AXIS_SPEC,
     Batch,
     CtrModel,
@@ -90,3 +91,6 @@ class DCN(CtrModel):
         spec = super().param_spec()
         spec["emb"] = MODEL_AXIS_SPEC
         return spec
+
+    def sparse_slots(self):
+        return {"emb": SparseSlot(("feat_ids",), self.cfg.feature_size)}

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
+    SparseSlot,
     MODEL_AXIS_SPEC,
     REPLICATED,
     Batch,
@@ -100,3 +101,6 @@ class DeepFM(CtrModel):
         spec = super().param_spec()
         spec["fm_wv"] = MODEL_AXIS_SPEC
         return spec
+
+    def sparse_slots(self):
+        return {"fm_wv": SparseSlot(("feat_ids",), self.cfg.feature_size)}

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
+    SparseSlot,
     MODEL_AXIS_SPEC,
     Batch,
     CtrModel,
@@ -88,3 +89,6 @@ class DeepMVM(CtrModel):
         spec = super().param_spec()
         spec["mvm_w"] = MODEL_AXIS_SPEC
         return spec
+
+    def sparse_slots(self):
+        return {"mvm_w": SparseSlot(("feat_ids",), self.cfg.feature_size)}

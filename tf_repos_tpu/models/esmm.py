@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
+    SparseSlot,
     MODEL_AXIS_SPEC,
     Batch,
     CtrModel,
@@ -185,3 +186,6 @@ class ESMM(CtrModel):
         spec = super().param_spec()
         spec["emb"] = MODEL_AXIS_SPEC
         return spec
+
+    def sparse_slots(self):
+        return {"emb": SparseSlot(("feat_ids", "u_catids", "u_shopids", "u_brandids", "u_intids", "a_catids", "a_shopids", "a_brandids", "a_intids"), self.cfg.feature_size)}

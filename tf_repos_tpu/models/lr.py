@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
+    SparseSlot,
     MODEL_AXIS_SPEC_1D,
     Batch,
     CtrModel,
@@ -59,3 +60,6 @@ class LR(CtrModel):
         spec = super().param_spec()
         spec["w"] = MODEL_AXIS_SPEC_1D
         return spec
+
+    def sparse_slots(self):
+        return {"w": SparseSlot(("feat_ids",), self.cfg.feature_size)}

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from tf_repos_tpu.models.base import (
+    SparseSlot,
     MODEL_AXIS_SPEC,
     Batch,
     CtrModel,
@@ -98,3 +99,6 @@ class NFM(CtrModel):
         spec = super().param_spec()
         spec["wv"] = MODEL_AXIS_SPEC
         return spec
+
+    def sparse_slots(self):
+        return {"wv": SparseSlot(("feat_ids",), self.cfg.feature_size)}

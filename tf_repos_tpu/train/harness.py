@@ -51,6 +51,18 @@ class Harness:
         self._train_step = None
         self._eval_step = None
         self._predict_step = None
+        # lazy touched-rows table updates (train/sparse.py): single-chip
+        # path, only for models that declare sparse slots
+        self._sparse_slots = None
+        if cfg.sparse_table_update and self.mesh is None:
+            slots = self.model.sparse_slots()
+            if slots:
+                self._sparse_slots = slots
+            else:
+                print(
+                    f"WARNING: --sparse_table_update: {self.model.name} "
+                    "declares no sparse tables; using the dense path"
+                )
 
     def _make_mesh(self):
         """Mesh-sharded execution when >1 device is visible or the user
@@ -72,8 +84,20 @@ class Harness:
             state["step"] = 0
             return state
         params, mstate = self.model.init(rng)
-        opt_state = self.tx.init(params)
+        if self._sparse_slots is not None:
+            from tf_repos_tpu.train import sparse as SP
+
+            opt_state = SP.init_opt_state(
+                self.model, self.tx, self._sparse_opt(), params
+            )
+        else:
+            opt_state = self.tx.init(params)
         return {"params": params, "opt_state": opt_state, "mstate": mstate, "step": 0}
+
+    def _sparse_opt(self):
+        from tf_repos_tpu.train.sparse import make_sparse_row_optimizer
+
+        return make_sparse_row_optimizer(self.cfg.optimizer, self.cfg.learning_rate)
 
     def restore_or_init(self, ckpt: CheckpointManager):
         ts = self.init_train_state()
@@ -118,6 +142,18 @@ class Harness:
             self._train_step = build_sharded_train_step(
                 self.model, self.tx, self.mesh, self._specs
             )
+        elif self._sparse_slots is not None:
+            from tf_repos_tpu.train.sparse import build_sparse_train_step
+
+            inner_sp = build_sparse_train_step(self.model, self.tx, self._sparse_opt())
+
+            def sstep(state, batch, rng):
+                p, o, m, loss = inner_sp(
+                    state["params"], state["opt_state"], state["mstate"], batch, rng
+                )
+                return {"params": p, "opt_state": o, "mstate": m}, loss
+
+            self._train_step = sstep
         else:
             inner = L.build_train_step(self.model, self.tx, lookup=self._field_block_lookup())
 
@@ -193,6 +229,12 @@ class Harness:
             ds = LibsvmDataset(
                 files, field_size=cfg.field_size, parse_workers=workers, **common
             )
+        if split == "tr" and self._sparse_slots is not None:
+            # dedup + remap on the host, pipelined with TPU compute by the
+            # prefetch thread (train/sparse.py step consumes __uids_*)
+            from tf_repos_tpu.data.sparse_batch import SparseBatchMapper, mapped_batches
+
+            ds = mapped_batches(ds, SparseBatchMapper(self._sparse_slots))
         it: Iterable = Prefetcher(ds, size=cfg.prefetch_batches)
         if jax.process_count() > 1:
             # every host must dispatch the same number of collective steps

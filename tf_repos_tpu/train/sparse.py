@@ -1,0 +1,219 @@
+"""Touched-rows-only ("lazy") optimizer updates for big embedding tables.
+
+Why (VERDICT r1 items 2+4; reference pain point DeepMTL/README.md:43-45,
+DeepCvrMTL.py:122): dense optax updates rewrite every moment row of a
+[V,K] table each step (~5.3 ms/step measured at 4.5M x 16 on v5e), and
+the backward pass materializes a dense [V,K] cotangent through an XLA
+scatter that is erratic at this vocab (39-435 ms for the same op). The
+reference's async parameter server only ever updated the rows a worker
+pushed — this module restores that behavior on TPU, exactly.
+
+TPU-first design — every stage avoids the ops measured pathological on
+v5e (CLAUDE.md): no TPU sort (jnp.sort of 342k int32 took 12 s), no
+V-sized scatter-add:
+
+  1. The HOST loader dedups the batch's ids with an O(V+N) flag array
+     (data/sparse_batch.py, pipelined with TPU compute in the prefetch
+     thread) and ships `__uids_<table>` (unique rows, sentinel-padded to
+     a static size) plus the id fields REMAPPED to positions into it.
+  2. The device gathers the S unique rows and differentiates the loss
+     W.R.T. THOSE ROWS: the model sees a small [S,K] "table" and the
+     remapped ids, so the backward segment-sum lands in an [S,K] buffer.
+     A dense [V,K] cotangent is never materialized.
+  3. Adam/Adagrad/FTRL/SGD run on the S rows only — moment tensors stay
+     [V,K] in HBM but only S rows are read and written back (unique ids
+     => collision-free .set; sentinel rows use scatter mode="drop").
+
+Semantics = TF LazyAdam / the reference's async-PS updates: untouched
+rows keep stale moments and do not move; Adam bias correction uses the
+global step count. L2 regularization applies to the TOUCHED rows only
+(the model's l2_loss sees the gathered rows) — the same gradients a PS
+receives when the regularizer is attached to the gathered embeddings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+UIDS_PREFIX = "__uids_"
+
+
+def take_rows(a: jax.Array, u: jax.Array) -> jax.Array:
+    """Gather rows at u; sentinel (out-of-range) rows come back zero, so
+    they contribute nothing to touched-row L2 and get zero gradients."""
+    return a.at[u].get(mode="fill", fill_value=0)
+
+
+def put_rows(a: jax.Array, u: jax.Array, rows: jax.Array) -> jax.Array:
+    """Scatter rows back at u (unique => collision-free); sentinel rows
+    are dropped. With donated inputs XLA performs this in place."""
+    return a.at[u].set(rows, mode="drop")
+
+
+class SparseRowOpt(NamedTuple):
+    """A lazy row-wise optimizer for one [V, ...] table."""
+
+    init: Callable[[jax.Array], Any]  # table -> aux state pytree
+    # (aux, table, u, g_rows) -> (new_table, new_aux)
+    apply: Callable[[Any, jax.Array, jax.Array, jax.Array], Tuple[jax.Array, Any]]
+
+
+def make_sparse_row_optimizer(name: str, learning_rate: float) -> SparseRowOpt:
+    """Same hyperparameters as train/optimizers.make_optimizer (the
+    reference's exact settings, DeepFM.py:204-211), applied lazily."""
+    key = name.lower()
+    lr = learning_rate
+    if key == "adam":
+        b1, b2, eps = 0.9, 0.999, 1e-8
+
+        def init(table):
+            return {
+                "m": jnp.zeros_like(table),
+                "v": jnp.zeros_like(table),
+                "t": jnp.zeros((), jnp.int32),
+            }
+
+        def apply(aux, table, u, g):
+            t = aux["t"] + 1
+            tf32 = t.astype(jnp.float32)
+            m_u = b1 * take_rows(aux["m"], u) + (1.0 - b1) * g
+            v_u = b2 * take_rows(aux["v"], u) + (1.0 - b2) * jnp.square(g)
+            m_hat = m_u / (1.0 - jnp.power(b1, tf32))
+            v_hat = v_u / (1.0 - jnp.power(b2, tf32))
+            w_u = take_rows(table, u) - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+            return put_rows(table, u, w_u), {
+                "m": put_rows(aux["m"], u, m_u),
+                "v": put_rows(aux["v"], u, v_u),
+                "t": t,
+            }
+
+        return SparseRowOpt(init, apply)
+
+    if key == "adagrad":
+        init_acc = 1e-8
+
+        def init(table):
+            return {"a": jnp.full_like(table, init_acc)}
+
+        def apply(aux, table, u, g):
+            a_u = take_rows(aux["a"], u) + jnp.square(g)
+            # sentinel rows gather a=0 -> rsqrt(0)=inf, times g=0 -> NaN;
+            # they are dropped at scatter but NaN would poison nothing —
+            # still, keep the math finite:
+            step = lr * g * jax.lax.rsqrt(jnp.maximum(a_u, init_acc * 1e-3))
+            w_u = take_rows(table, u) - step
+            return put_rows(table, u, w_u), {"a": put_rows(aux["a"], u, a_u)}
+
+        return SparseRowOpt(init, apply)
+
+    if key == "ftrl":
+        # TF FtrlOptimizer defaults (lr_power=-0.5, init_accum=0.1,
+        # l1=l2=0) — the wide/sparse-part optimizer (DeepFM.py:210-211)
+        p, init_acc = -0.5, 0.1
+
+        def init(table):
+            return {
+                "n": jnp.full_like(table, init_acc),
+                "z": jnp.zeros_like(table),
+            }
+
+        def apply(aux, table, u, g):
+            n0 = take_rows(aux["n"], u)
+            n0 = jnp.maximum(n0, init_acc * 1e-3)  # sentinel rows: finite
+            w = take_rows(table, u)
+            z0 = take_rows(aux["z"], u)
+            n1 = n0 + jnp.square(g)
+            z1 = z0 + g - ((jnp.power(n1, -p) - jnp.power(n0, -p)) / lr) * w
+            w_new = -z1 / (jnp.power(n1, -p) / lr)
+            return put_rows(table, u, w_new), {
+                "n": put_rows(aux["n"], u, n1),
+                "z": put_rows(aux["z"], u, z1),
+            }
+
+        return SparseRowOpt(init, apply)
+
+    if key in ("gd", "sgd"):
+
+        def init(table):
+            return {}
+
+        def apply(aux, table, u, g):
+            w_u = take_rows(table, u) - lr * g
+            return put_rows(table, u, w_u), aux
+
+        return SparseRowOpt(init, apply)
+
+    if key == "momentum":
+        mom = 0.95
+
+        def init(table):
+            return {"mo": jnp.zeros_like(table)}
+
+        def apply(aux, table, u, g):
+            mo_u = mom * take_rows(aux["mo"], u) + g
+            w_u = take_rows(table, u) - lr * mo_u
+            return put_rows(table, u, w_u), {"mo": put_rows(aux["mo"], u, mo_u)}
+
+        return SparseRowOpt(init, apply)
+
+    raise ValueError(f"no sparse-row variant for optimizer {name!r}")
+
+
+def split_params(params: Dict[str, Any], slot_names) -> Tuple[Dict, Dict]:
+    tables = {t: params[t] for t in slot_names}
+    rest = {k: v for k, v in params.items() if k not in tables}
+    return tables, rest
+
+
+def init_opt_state(
+    model, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt, params
+):
+    """Combined optimizer state: optax for the dense part, lazy row state
+    for each sparse table."""
+    names = model.sparse_slots().keys()
+    tables, rest = split_params(params, names)
+    return {
+        "dense": tx_dense.init(rest),
+        "sparse": {t: sopt.init(tab) for t, tab in tables.items()},
+    }
+
+
+def build_sparse_train_step(
+    model, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt
+):
+    """(params, opt_state, mstate, batch, rng) -> (params, opt_state,
+    mstate, loss) — same contract as loop.build_train_step, but batches
+    must have passed through data/sparse_batch.SparseBatchMapper (which
+    adds __uids_<table> and remaps the id fields)."""
+    slot_names = list(model.sparse_slots().keys())
+
+    def step(params, opt_state, mstate, batch, rng):
+        tables, rest = split_params(params, slot_names)
+        u = {t: batch[UIDS_PREFIX + t] for t in slot_names}
+        rows = {t: take_rows(tables[t], u[t]) for t in slot_names}
+
+        def loss_fn(rows, rest):
+            p = dict(rest)
+            p.update(rows)  # the model sees a small [S,K] "table"
+            return model.loss(p, mstate, batch, train=True, rng=rng)
+
+        (loss, (_, new_mstate)), (g_rows, g_rest) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rows, rest)
+
+        upd, new_dense = tx_dense.update(g_rest, opt_state["dense"], rest)
+        new_rest = optax.apply_updates(rest, upd)
+
+        new_params = dict(new_rest)
+        new_sparse = {}
+        for t in slot_names:
+            new_params[t], new_sparse[t] = sopt.apply(
+                opt_state["sparse"][t], tables[t], u[t], g_rows[t]
+            )
+        return new_params, {"dense": new_dense, "sparse": new_sparse}, new_mstate, loss
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
