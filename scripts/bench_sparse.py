@@ -1,0 +1,116 @@
+"""Dense vs lazy-sparse table updates at Ali-CCP scale (VERDICT r1 items
+2+4 acceptance): ESMM @ 4.5M vocab — step time, step-time STABILITY (the
+dense path's XLA scatter was measured erratic 39-435 ms at this vocab),
+and the host-side dedup cost (pipelined with TPU compute in production).
+
+Run on the real chip:  timeout 600 python scripts/bench_sparse.py
+CPU sanity:            JAX_PLATFORMS=cpu python scripts/bench_sparse.py --small
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench(model_name: str, vocab: int, batch_size: int, pad: int, n_steps: int = 30):
+    import jax
+    import jax.numpy as jnp
+
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.sparse_batch import SparseBatchMapper
+    from tf_repos_tpu.data.synthetic import synthetic_aliccp_batch, synthetic_criteo_batch
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.train import sparse as SP
+    from tf_repos_tpu.train.loop import build_train_step
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    cfg = Config(
+        model=model_name, feature_size=vocab, field_size=11 if model_name == "ESMM" else 39,
+        embedding_size=16, deep_layers="256,128,64", dropout="1.0,1.0,1.0",
+        batch_size=batch_size, learning_rate=0.0005, l2_reg=0.0001,
+        optimizer="Adam", multi_hot_pad=pad,
+    )
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+
+    rng = np.random.default_rng(0)
+    if model_name == "ESMM":
+        raw = [
+            synthetic_aliccp_batch(rng, batch_size, vocab, multi_hot_pad=pad)
+            for _ in range(4)
+        ]
+    else:
+        raw = [synthetic_criteo_batch(rng, batch_size, vocab) for _ in range(4)]
+
+    def run(step, params, opt_state, mstate, batches):
+        key = jax.random.PRNGKey(1)
+        for i in range(3):
+            params, opt_state, mstate, loss = step(
+                params, opt_state, mstate, batches[i % 4], key
+            )
+        float(loss)  # axon sync
+        times = []
+        for i in range(n_steps):
+            t0 = time.perf_counter()
+            params, opt_state, mstate, loss = step(
+                params, opt_state, mstate, batches[i % 4], key
+            )
+            float(loss)  # per-step sync to expose variance
+            times.append(time.perf_counter() - t0)
+        return np.array(times) * 1e3  # ms
+
+    out = {}
+
+    # ---- dense path
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    step = build_train_step(model, tx)
+    dev = [jax.tree.map(jnp.asarray, b) for b in raw]
+    t = run(step, params, opt_state, mstate, dev)
+    out["dense_ms_med"] = float(np.median(t))
+    out["dense_ms_min"] = float(t.min())
+    out["dense_ms_max"] = float(t.max())
+    del params, opt_state, dev
+
+    # ---- sparse path
+    mapper = SparseBatchMapper(model.sparse_slots())
+    th0 = time.perf_counter()
+    mapped = [mapper(b) for b in raw]
+    out["mapper_host_ms_per_batch"] = float(
+        (time.perf_counter() - th0) / len(raw) * 1e3
+    )
+    sopt = SP.make_sparse_row_optimizer(cfg.optimizer, cfg.learning_rate)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    opt_state = SP.init_opt_state(model, tx, sopt, params)
+    sstep = SP.build_sparse_train_step(model, tx, sopt)
+    dev = [jax.tree.map(jnp.asarray, b) for b in mapped]
+    t = run(sstep, params, opt_state, mstate, dev)
+    out["sparse_ms_med"] = float(np.median(t))
+    out["sparse_ms_min"] = float(t.min())
+    out["sparse_ms_max"] = float(t.max())
+    out["speedup_med"] = out["dense_ms_med"] / out["sparse_ms_med"]
+    out["examples_per_sec_sparse"] = batch_size / (out["sparse_ms_med"] / 1e3)
+    return out
+
+
+def main():
+    small = "--small" in sys.argv
+    if small:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        res = bench("ESMM", vocab=50_000, batch_size=256, pad=8, n_steps=10)
+    else:
+        res = bench("ESMM", vocab=4_500_000, batch_size=4096, pad=16)
+    print(json.dumps({"bench": "esmm_sparse_vs_dense", **{k: round(v, 3) for k, v in res.items()}}))
+
+
+if __name__ == "__main__":
+    main()

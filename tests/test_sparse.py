@@ -238,3 +238,73 @@ def test_esmm_sparse_smoke_and_loss_parity():
     np.testing.assert_allclose(l_sparse, l_dense, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p_sparse), jax.tree.leaves(p_dense)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------- bf16 + SR
+def test_stochastic_round_bf16_unbiased():
+    from tf_repos_tpu.ops.rounding import stochastic_round_bf16
+
+    lo = jnp.bfloat16(1.0)
+    hi = jnp.float32(np.nextafter(np.float32(jnp.float32(lo)), np.float32(2.0)))
+    # a value 25% of the way from one bf16 to the next
+    lo32 = jnp.float32(lo)
+    ulp = float(jnp.float32(jnp.bfloat16(1.0078125)) - lo32)  # next bf16 after 1.0
+    x = jnp.full((200_000,), lo32 + 0.25 * ulp, jnp.float32)
+    r = stochastic_round_bf16(x, jax.random.PRNGKey(0)).astype(jnp.float32)
+    uniq = np.unique(np.asarray(r))
+    assert len(uniq) == 2  # rounds to exactly the two neighbors
+    frac_up = float(jnp.mean((r > lo32).astype(jnp.float32)))
+    assert abs(frac_up - 0.25) < 0.01  # unbiased
+    # exact bf16 values are fixed points
+    exact = jnp.array([0.0, 1.0, -2.5, 384.0], jnp.float32)
+    out = stochastic_round_bf16(exact, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(out.astype(jnp.float32)), np.asarray(exact))
+    # NaN/inf pass through
+    special = jnp.array([np.inf, -np.inf, np.nan], jnp.float32)
+    s = np.asarray(stochastic_round_bf16(special, jax.random.PRNGKey(2)).astype(jnp.float32))
+    assert np.isinf(s[0]) and s[0] > 0 and np.isinf(s[1]) and s[1] < 0 and np.isnan(s[2])
+
+
+def test_bf16_sparse_training_tracks_f32():
+    """bf16 tables + moments with SR: training moves like f32 (loose
+    tolerance) and storage dtype is preserved end-to-end."""
+    from tf_repos_tpu.train.optimizers import make_optimizer
+    from tf_repos_tpu.train.sparse import cast_tables
+
+    cfg = _cfg(optimizer="Adam", l2_reg=0.0, learning_rate=0.05)
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    sopt = SP.make_sparse_row_optimizer(cfg.optimizer, cfg.learning_rate)
+    batches = _batches(cfg, 5)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    table_name = next(iter(model.sparse_slots()))
+
+    results = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        params, mstate = model.init(jax.random.PRNGKey(cfg.seed))
+        params = cast_tables(model, params, dtype)
+        opt_state = SP.init_opt_state(model, tx, sopt, params)
+        step = SP.build_sparse_train_step(model, tx, sopt)
+        losses = []
+        for i, b in enumerate(batches):
+            params, opt_state, mstate, loss = step(
+                params, opt_state, mstate, mapper(b), jax.random.PRNGKey(100 + i)
+            )
+            losses.append(float(loss))
+        assert params[table_name].dtype == dtype
+        assert opt_state["sparse"][table_name]["m"].dtype == dtype
+        results[dtype] = (losses, np.asarray(params[table_name], np.float32))
+
+    l32, t32 = results[jnp.float32]
+    l16, t16 = results[jnp.bfloat16]
+    np.testing.assert_allclose(l16, l32, rtol=0.02)  # loss curve tracks
+    # tables agree to bf16-resolution-ish after 5 steps
+    assert float(np.max(np.abs(t16 - t32))) < 0.05
+
+
+def test_param_dtype_requires_sparse_mode(tmp_path):
+    from tf_repos_tpu.train.harness import Harness
+
+    cfg = _cfg().replace(param_dtype="bfloat16", sparse_table_update=False)
+    with pytest.raises(ValueError, match="sparse_table_update"):
+        Harness(cfg)

@@ -77,6 +77,10 @@ class Config:
     seed: int = 2018
     mesh_data: int = -1  # -1: use all devices on the data axis
     mesh_model: int = 1  # >1 row-shards embedding tables over the model axis
+    # "bfloat16": store embedding tables + their optimizer moments in
+    # bf16 (halves their HBM footprint; the reference's 20GB-RAM pain
+    # point, DeepMTL/README.md:43-45). Row math stays f32; writes use
+    # stochastic rounding (ops/rounding.py). Requires sparse_table_update.
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 for the dense towers on TPU
     shuffle_buffer: int = 256  # reference input_fn shuffle window (DeepFM.py:88)

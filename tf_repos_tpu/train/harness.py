@@ -63,6 +63,17 @@ class Harness:
                     f"WARNING: --sparse_table_update: {self.model.name} "
                     "declares no sparse tables; using the dense path"
                 )
+        self._table_dtype = None
+        if cfg.param_dtype not in ("float32", "f32", ""):
+            if cfg.param_dtype not in ("bfloat16", "bf16"):
+                raise ValueError(f"unsupported param_dtype {cfg.param_dtype!r}")
+            if self._sparse_slots is None:
+                raise ValueError(
+                    "--param_dtype=bfloat16 requires --sparse_table_update "
+                    "(bf16 tables are written with stochastic rounding, "
+                    "which lives in the lazy sparse-update path)"
+                )
+            self._table_dtype = jnp.bfloat16
 
     def _make_mesh(self):
         """Mesh-sharded execution when >1 device is visible or the user
@@ -87,6 +98,10 @@ class Harness:
         if self._sparse_slots is not None:
             from tf_repos_tpu.train import sparse as SP
 
+            if self._table_dtype is not None:
+                # bf16 table + moment storage (halves their HBM footprint);
+                # row math stays f32, writes use stochastic rounding
+                params = SP.cast_tables(self.model, params, self._table_dtype)
             opt_state = SP.init_opt_state(
                 self.model, self.tx, self._sparse_opt(), params
             )
@@ -344,6 +359,15 @@ class Harness:
             writer.close()
         return metrics
 
+    def _f32_params(self, params):
+        """Eval/infer/export consume f32 tables (bf16 is a training-
+        storage format; the upcast is a one-off [V,K] copy)."""
+        if self._table_dtype is None:
+            return params
+        from tf_repos_tpu.train.sparse import upcast_tables_f32
+
+        return upcast_tables_f32(self.model, params)
+
     def _maybe_eval(self, params, mstate) -> Dict[str, float]:
         try:
             return self._run_eval(params, mstate)
@@ -352,6 +376,7 @@ class Harness:
 
     # ------------------------------------------------------------------ eval
     def _run_eval(self, params, mstate) -> Dict[str, float]:
+        params = self._f32_params(params)
         eval_step = self._get_eval_step()
         acc = L.init_eval_acc(self.model)
         for batch in self._dataset("va", shuffle=False, epochs=1):
@@ -419,10 +444,11 @@ class Harness:
         predict_step = self._get_predict_step()
         out_path = out_path or os.path.join(cfg.data_dir, "pred.txt")
         key = self.model.prediction_keys[0]
+        params = self._f32_params(ts["params"])
         with open(out_path, "w") as f:
             for batch in self._dataset("te", shuffle=False, epochs=1):
                 preds = np.asarray(
-                    predict_step(ts["params"], ts["mstate"], self._place(batch))[key]
+                    predict_step(params, ts["mstate"], self._place(batch))[key]
                 )
                 for p, m in zip(preds, batch["mask"]):
                     if m > 0:
@@ -437,7 +463,7 @@ class Harness:
         ckpt = CheckpointManager(self.model_dir, keep=cfg.keep_checkpoint_max)
         ts = self.restore_or_init(ckpt)
         ckpt.close()
-        params = ts["params"]
+        params = self._f32_params(ts["params"])
         if self._sharded is not None:
             from tf_repos_tpu.parallel.step import unpad_params_like
 

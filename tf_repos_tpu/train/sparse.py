@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from tf_repos_tpu.ops.rounding import maybe_round
+
 UIDS_PREFIX = "__uids_"
 
 
@@ -48,6 +50,12 @@ def take_rows(a: jax.Array, u: jax.Array) -> jax.Array:
     return a.at[u].get(mode="fill", fill_value=0)
 
 
+def take_rows_f32(a: jax.Array, u: jax.Array) -> jax.Array:
+    """Gather + upcast: bf16-stored tables move half the HBM bytes per
+    gather; all row math runs in f32."""
+    return take_rows(a, u).astype(jnp.float32)
+
+
 def put_rows(a: jax.Array, u: jax.Array, rows: jax.Array) -> jax.Array:
     """Scatter rows back at u (unique => collision-free); sentinel rows
     are dropped. With donated inputs XLA performs this in place."""
@@ -55,11 +63,16 @@ def put_rows(a: jax.Array, u: jax.Array, rows: jax.Array) -> jax.Array:
 
 
 class SparseRowOpt(NamedTuple):
-    """A lazy row-wise optimizer for one [V, ...] table."""
+    """A lazy row-wise optimizer for one [V, ...] table. Row math is f32
+    regardless of storage dtype; writes back in the table's/moments'
+    dtype — stochastically rounded for bf16 (ops/rounding.py), so small
+    updates survive in expectation."""
 
     init: Callable[[jax.Array], Any]  # table -> aux state pytree
-    # (aux, table, u, g_rows) -> (new_table, new_aux)
-    apply: Callable[[Any, jax.Array, jax.Array, jax.Array], Tuple[jax.Array, Any]]
+    # (aux, table, u, g_rows, key) -> (new_table, new_aux)
+    apply: Callable[
+        [Any, jax.Array, jax.Array, jax.Array, jax.Array], Tuple[jax.Array, Any]
+    ]
 
 
 def make_sparse_row_optimizer(name: str, learning_rate: float) -> SparseRowOpt:
@@ -77,17 +90,18 @@ def make_sparse_row_optimizer(name: str, learning_rate: float) -> SparseRowOpt:
                 "t": jnp.zeros((), jnp.int32),
             }
 
-        def apply(aux, table, u, g):
+        def apply(aux, table, u, g, key):
+            kw, km, kv = jax.random.split(key, 3)
             t = aux["t"] + 1
             tf32 = t.astype(jnp.float32)
-            m_u = b1 * take_rows(aux["m"], u) + (1.0 - b1) * g
-            v_u = b2 * take_rows(aux["v"], u) + (1.0 - b2) * jnp.square(g)
+            m_u = b1 * take_rows_f32(aux["m"], u) + (1.0 - b1) * g
+            v_u = b2 * take_rows_f32(aux["v"], u) + (1.0 - b2) * jnp.square(g)
             m_hat = m_u / (1.0 - jnp.power(b1, tf32))
             v_hat = v_u / (1.0 - jnp.power(b2, tf32))
-            w_u = take_rows(table, u) - lr * m_hat / (jnp.sqrt(v_hat) + eps)
-            return put_rows(table, u, w_u), {
-                "m": put_rows(aux["m"], u, m_u),
-                "v": put_rows(aux["v"], u, v_u),
+            w_u = take_rows_f32(table, u) - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+            return put_rows(table, u, maybe_round(w_u, kw, table.dtype)), {
+                "m": put_rows(aux["m"], u, maybe_round(m_u, km, aux["m"].dtype)),
+                "v": put_rows(aux["v"], u, maybe_round(v_u, kv, aux["v"].dtype)),
                 "t": t,
             }
 
@@ -99,14 +113,17 @@ def make_sparse_row_optimizer(name: str, learning_rate: float) -> SparseRowOpt:
         def init(table):
             return {"a": jnp.full_like(table, init_acc)}
 
-        def apply(aux, table, u, g):
-            a_u = take_rows(aux["a"], u) + jnp.square(g)
+        def apply(aux, table, u, g, key):
+            kw, ka = jax.random.split(key)
+            a_u = take_rows_f32(aux["a"], u) + jnp.square(g)
             # sentinel rows gather a=0 -> rsqrt(0)=inf, times g=0 -> NaN;
             # they are dropped at scatter but NaN would poison nothing —
             # still, keep the math finite:
             step = lr * g * jax.lax.rsqrt(jnp.maximum(a_u, init_acc * 1e-3))
-            w_u = take_rows(table, u) - step
-            return put_rows(table, u, w_u), {"a": put_rows(aux["a"], u, a_u)}
+            w_u = take_rows_f32(table, u) - step
+            return put_rows(table, u, maybe_round(w_u, kw, table.dtype)), {
+                "a": put_rows(aux["a"], u, maybe_round(a_u, ka, aux["a"].dtype))
+            }
 
         return SparseRowOpt(init, apply)
 
@@ -121,17 +138,18 @@ def make_sparse_row_optimizer(name: str, learning_rate: float) -> SparseRowOpt:
                 "z": jnp.zeros_like(table),
             }
 
-        def apply(aux, table, u, g):
-            n0 = take_rows(aux["n"], u)
+        def apply(aux, table, u, g, key):
+            kw, kn, kz = jax.random.split(key, 3)
+            n0 = take_rows_f32(aux["n"], u)
             n0 = jnp.maximum(n0, init_acc * 1e-3)  # sentinel rows: finite
-            w = take_rows(table, u)
-            z0 = take_rows(aux["z"], u)
+            w = take_rows_f32(table, u)
+            z0 = take_rows_f32(aux["z"], u)
             n1 = n0 + jnp.square(g)
             z1 = z0 + g - ((jnp.power(n1, -p) - jnp.power(n0, -p)) / lr) * w
             w_new = -z1 / (jnp.power(n1, -p) / lr)
-            return put_rows(table, u, w_new), {
-                "n": put_rows(aux["n"], u, n1),
-                "z": put_rows(aux["z"], u, z1),
+            return put_rows(table, u, maybe_round(w_new, kw, table.dtype)), {
+                "n": put_rows(aux["n"], u, maybe_round(n1, kn, aux["n"].dtype)),
+                "z": put_rows(aux["z"], u, maybe_round(z1, kz, aux["z"].dtype)),
             }
 
         return SparseRowOpt(init, apply)
@@ -141,9 +159,9 @@ def make_sparse_row_optimizer(name: str, learning_rate: float) -> SparseRowOpt:
         def init(table):
             return {}
 
-        def apply(aux, table, u, g):
-            w_u = take_rows(table, u) - lr * g
-            return put_rows(table, u, w_u), aux
+        def apply(aux, table, u, g, key):
+            w_u = take_rows_f32(table, u) - lr * g
+            return put_rows(table, u, maybe_round(w_u, key, table.dtype)), aux
 
         return SparseRowOpt(init, apply)
 
@@ -153,10 +171,13 @@ def make_sparse_row_optimizer(name: str, learning_rate: float) -> SparseRowOpt:
         def init(table):
             return {"mo": jnp.zeros_like(table)}
 
-        def apply(aux, table, u, g):
-            mo_u = mom * take_rows(aux["mo"], u) + g
-            w_u = take_rows(table, u) - lr * mo_u
-            return put_rows(table, u, w_u), {"mo": put_rows(aux["mo"], u, mo_u)}
+        def apply(aux, table, u, g, key):
+            kw, kmo = jax.random.split(key)
+            mo_u = mom * take_rows_f32(aux["mo"], u) + g
+            w_u = take_rows_f32(table, u) - lr * mo_u
+            return put_rows(table, u, maybe_round(w_u, kw, table.dtype)), {
+                "mo": put_rows(aux["mo"], u, maybe_round(mo_u, kmo, aux["mo"].dtype))
+            }
 
         return SparseRowOpt(init, apply)
 
@@ -192,9 +213,12 @@ def build_sparse_train_step(
     slot_names = list(model.sparse_slots().keys())
 
     def step(params, opt_state, mstate, batch, rng):
+        rng, sr_key = jax.random.split(rng)
         tables, rest = split_params(params, slot_names)
         u = {t: batch[UIDS_PREFIX + t] for t in slot_names}
-        rows = {t: take_rows(tables[t], u[t]) for t in slot_names}
+        # f32 row math regardless of table storage dtype (bf16 tables
+        # halve the gather bytes; the upcast fuses into the gather)
+        rows = {t: take_rows_f32(tables[t], u[t]) for t in slot_names}
 
         def loss_fn(rows, rest):
             p = dict(rest)
@@ -210,10 +234,31 @@ def build_sparse_train_step(
 
         new_params = dict(new_rest)
         new_sparse = {}
-        for t in slot_names:
+        for i, t in enumerate(slot_names):
             new_params[t], new_sparse[t] = sopt.apply(
-                opt_state["sparse"][t], tables[t], u[t], g_rows[t]
+                opt_state["sparse"][t], tables[t], u[t], g_rows[t],
+                jax.random.fold_in(sr_key, i),
             )
         return new_params, {"dense": new_dense, "sparse": new_sparse}, new_mstate, loss
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def cast_tables(model, params, dtype) -> Dict[str, Any]:
+    """Cast the sparse-slot tables to `dtype` (plain round-to-nearest —
+    used once at init; training writes use stochastic rounding)."""
+    out = dict(params)
+    for t in model.sparse_slots():
+        out[t] = params[t].astype(dtype)
+    return out
+
+
+def upcast_tables_f32(model, params) -> Dict[str, Any]:
+    """f32 view of bf16-stored tables for eval/infer/export paths."""
+    out = dict(params)
+    for t in model.sparse_slots():
+        if out[t].dtype != jnp.float32:
+            out[t] = out[t].astype(jnp.float32)
+    return out
 
     return jax.jit(step, donate_argnums=(0, 1, 2))
