@@ -205,3 +205,106 @@ def test_esmm_export_and_scoring(tmp_path):
     np.testing.assert_allclose(
         out["pctcvr"], out["pctr"] * out["pcvr"], rtol=1e-5
     )
+
+
+# ------------------------------------------------- example-proto signature
+@pytest.fixture(scope="module")
+def wd_servable(tmp_path_factory):
+    """WideDeep servable — the model behind the reference's parsing
+    (tf.Example) serving signature."""
+    from tf_repos_tpu.data.synthetic import write_synthetic_csv
+
+    tmp = tmp_path_factory.mktemp("wd_serving")
+    data = tmp / "data"
+    data.mkdir()
+    write_synthetic_csv(str(data / "tr.csv"), 96, seed=0)
+    write_synthetic_csv(str(data / "va.csv"), 48, seed=1)
+    cfg = Config(
+        model="WideDeep", feature_size=0, field_size=39, embedding_size=4,
+        deep_layers="8,4", dropout="1.0,1.0", batch_size=32, num_epochs=1,
+        log_steps=5, data_dir=str(data), model_dir=str(tmp / "model"),
+        dt_dir="20260101", eval_throttle_secs=0,
+        servable_model_dir=str(tmp / "servable"),
+    )
+    run_task(cfg)
+    run_task(cfg.replace(task_type="export"))
+    return cfg
+
+
+def test_example_proto_roundtrip():
+    from tf_repos_tpu.serve.example_proto import decode_example, encode_example
+
+    feats = {
+        "I1": [0.5], "I2": [1.25, -3.5],
+        "C1": [123], "C2": [0, -1, 2**40],
+        "raw": [b"ab", b""],
+    }
+    out = decode_example(encode_example(feats))
+    np.testing.assert_allclose(out["I1"], [0.5])
+    np.testing.assert_allclose(out["I2"], [1.25, -3.5])
+    np.testing.assert_array_equal(out["C1"], [123])
+    np.testing.assert_array_equal(out["C2"], [0, -1, 2**40])
+    assert list(out["raw"]) == [b"ab", b""]
+
+
+def test_example_signature_server_and_cpp_client(wd_servable, tmp_path):
+    """The parsing-signature path end-to-end: serialized tf.Example rows
+    through {"b64": ...} REST instances score identically to raw
+    cont/cat instances — from Python and from the compiled C++ client."""
+    import base64
+
+    from tf_repos_tpu.serve.example_proto import encode_example
+
+    srv = PredictionServer(wd_servable.servable_model_dir, port=0, reload_secs=0)
+    srv.start()
+    try:
+        rng = np.random.default_rng(0)
+        cont = rng.random((3, 13)).astype(np.float32)
+        cat = rng.integers(0, 100, size=(3, 26)).astype(np.int64)
+        url = f"http://127.0.0.1:{srv.port}/v1/models/wide_n_deep:predict"
+
+        def post(payload):
+            req = urllib.request.Request(
+                url, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            return json.loads(urllib.request.urlopen(req, timeout=30).read())
+
+        raw = post({
+            "instances": [
+                {"cont": cont[i].tolist(), "cat": cat[i].tolist()}
+                for i in range(3)
+            ]
+        })
+        ex_instances = []
+        for i in range(3):
+            feats = {f"I{j+1}": [float(cont[i, j])] for j in range(13)}
+            feats.update({f"C{j+1}": [int(cat[i, j])] for j in range(26)})
+            ex_instances.append(
+                {"b64": base64.b64encode(encode_example(feats)).decode()}
+            )
+        via_example = post({"instances": ex_instances})
+        np.testing.assert_allclose(
+            via_example["predictions"], raw["predictions"], rtol=1e-5
+        )
+
+        if shutil.which("g++"):
+            build = tmp_path / "cppbuild_ex"
+            shutil.copytree(CPP_DIR, build)
+            subprocess.run(["make", "-s"], cwd=build, check=True, timeout=120)
+            out = subprocess.run(
+                [str(build / "ctr_client"), "127.0.0.1", str(srv.port),
+                 "wide_n_deep", "example"],
+                capture_output=True, text=True, timeout=60,
+            )
+            assert out.returncode == 0, out.stderr
+            pline = [l for l in out.stdout.splitlines() if l.startswith("pctr = ")]
+            assert len(pline) == 1
+            # must equal the same probe scored through the raw columnar path
+            probe = post({
+                "instances": [{"cont": [0.5] * 13,
+                               "cat": list(range(1, 27))}]
+            })
+            assert abs(float(pline[0].split("=")[1]) - probe["predictions"][0]) < 1e-4
+    finally:
+        srv.stop()

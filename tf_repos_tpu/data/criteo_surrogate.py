@@ -1,0 +1,345 @@
+"""Statistics-faithful Criteo surrogate with a known Bayes ceiling.
+
+The environment has no egress, so the real Criteo logs can't be fetched;
+this module generates RAW Criteo-format TSV (label \t I1..I13 \t C1..C26)
+whose observable statistics match the published operating point of the
+reference pipeline (deep_ctr/README.md:33,51; get_criteo_feature.py:19-25):
+
+  * 26 categorical fields with per-field Zipf(frequency-rank) draws,
+    calibrated so the FULL-dataset run (45.84M lines, cutoff=200 —
+    the reference's command line) keeps ~117,581 total ids. Per-field
+    kept-cardinalities come from capping the public Kaggle-Criteo raw
+    cardinalities at a common cap solved so the total matches.
+  * 13 integer features: skewed draws, written so the reference's
+    clip + min-max normalization (CONTINUOUS_CLIP) recovers the exact
+    generative value (raw = round(u * clip)).
+  * labels from a PLANTED logistic model over frequency ranks:
+    first-order per-(field,rank) effects + low-rank FM pairwise
+    interactions + a continuous nonlinearity, with magnitude envelopes
+    that decay to the shared tail value at the cutoff boundary — so the
+    post-cutoff representation (rare ranks collapse to <unk>) can
+    express the truth EXACTLY and the Bayes ceiling is achievable.
+  * (tau, b0) calibrated once (deterministic probe) so Bayes AUC is
+    ~0.803 — the reference's published band (AUC=0.8±0.003,
+    deep_ctr/README.md:38-45) — and CTR ~0.256.
+
+Smaller samples use a quantile-equivalent cutoff: cutoff(N) =
+round(200 * N / 45.84M), preserving the same kept-vocabulary so
+feature_size stays ~117,581 at any multi-million-line scale.
+
+CLI:
+  python -m tf_repos_tpu.data.criteo_surrogate --out_dir D \
+      --train_lines 2000000 --test_lines 200000 [--shards 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from tf_repos_tpu.features.criteo import CONTINUOUS_CLIP, NUM_CATEGORICAL, NUM_CONTINUOUS
+
+# Public Kaggle-Criteo raw categorical cardinalities (C1..C26) — the
+# standard numbers from the DLRM benchmark preprocessing of the same
+# dataset the reference uses.
+RAW_CARDS = [
+    1460, 583, 10_131_227, 2_202_608, 305, 24, 12_517, 633, 3, 93_145,
+    5_683, 8_351_593, 3_194, 27, 14_992, 5_461_306, 10, 5_652, 2_173, 4,
+    7_046_547, 18, 15, 286_181, 105, 142_572,
+]
+N_FULL = 45_840_617  # Criteo train.txt lines
+CUTOFF_FULL = 200
+FEATURE_SIZE_TARGET = 117_581  # reference feature space (README.md:51)
+# kept ids (excl. 13 continuous and 26 per-field <unk> rows)
+KEPT_TARGET = FEATURE_SIZE_TARGET - NUM_CONTINUOUS - NUM_CATEGORICAL
+
+BAYES_AUC_TARGET = 0.803
+CTR_TARGET = 0.256
+PLANT_DIM = 4
+_TAIL_OVER = 3  # raw vocab = _TAIL_OVER * kept target (sub-cutoff tail)
+
+
+def field_targets() -> List[int]:
+    """Per-field kept-cardinality: cap the raw cardinalities at a common
+    cap chosen so the total equals KEPT_TARGET."""
+    lo, hi = 1.0, float(max(RAW_CARDS))
+    for _ in range(200):
+        cap = (lo + hi) / 2
+        tot = sum(min(c, cap) for c in RAW_CARDS)
+        if tot < KEPT_TARGET:
+            lo = cap
+        else:
+            hi = cap
+    targets = [int(min(c, lo)) for c in RAW_CARDS]
+    # distribute rounding remainder over the capped (largest) fields
+    rem = KEPT_TARGET - sum(targets)
+    order = sorted(range(len(RAW_CARDS)), key=lambda i: -RAW_CARDS[i])
+    i = 0
+    while rem != 0:
+        j = order[i % len(order)]
+        step = 1 if rem > 0 else -1
+        targets[j] += step
+        rem -= step
+        i += 1
+    return targets
+
+
+def _zipf_exponent(kept: int, vocab: int) -> float:
+    """Solve s so that at the full-dataset operating point the id at
+    frequency-rank `kept` receives exactly CUTOFF_FULL occurrences:
+    N_FULL * p_kept == CUTOFF_FULL with p_r (proportional to) r^-s over
+    1..vocab."""
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    lo, hi = 0.05, 3.0
+    for _ in range(80):
+        s = (lo + hi) / 2
+        w = ranks**-s
+        p_kept = w[kept - 1] / w.sum()
+        if N_FULL * p_kept > CUTOFF_FULL:
+            lo = s  # head too heavy at the boundary -> steepen
+        else:
+            hi = s
+    return (lo + hi) / 2
+
+
+class _Fields:
+    """Per-field sampling tables + plant parameters (deterministic)."""
+
+    def __init__(self):
+        self.targets = field_targets()
+        self.vocabs: List[int] = []
+        self.cdfs: List[np.ndarray] = []
+        self.pmfs: List[np.ndarray] = []
+        for kept in self.targets:
+            vocab = max(kept * _TAIL_OVER, kept + 2)
+            s = _zipf_exponent(kept, vocab)
+            w = np.arange(1, vocab + 1, dtype=np.float64) ** -s
+            p = w / w.sum()
+            self.vocabs.append(vocab)
+            self.pmfs.append(p)
+            self.cdfs.append(np.cumsum(p))
+
+    def sample(self, rng: np.random.Generator, f: int, n: int) -> np.ndarray:
+        """Frequency ranks (1-based) for field f."""
+        r = rng.random(n)
+        return (np.searchsorted(self.cdfs[f], r, side="right") + 1).astype(np.int64)
+
+
+_FIELDS: _Fields | None = None
+
+
+def fields() -> _Fields:
+    global _FIELDS
+    if _FIELDS is None:
+        _FIELDS = _Fields()
+    return _FIELDS
+
+
+# ---------------------------------------------------------------- the plant
+def _hash_vec(field: int, ranks: np.ndarray, dim: int, salt: float) -> np.ndarray:
+    """Deterministic pseudo-random unit-scale vectors per (field, rank)."""
+    d = np.arange(dim, dtype=np.float32)
+    return np.sin(
+        ranks[..., None].astype(np.float32) * (0.37 + 0.011 * field)
+        + field * 2.39
+        + d * 1.71
+        + salt
+    )
+
+
+def _envelope(field: int, ranks: np.ndarray) -> np.ndarray:
+    """Effect magnitude by frequency rank: decays to ~0 at the cutoff
+    boundary (rank == kept target) and is exactly 0 beyond it, so rare
+    ranks share the tail value and the <unk> collapse is lossless."""
+    T = fields().targets[field]
+    x = np.clip(1.0 - (ranks.astype(np.float32) - 1.0) / T, 0.0, 1.0)
+    return x**1.5
+
+
+def true_logits(cat_ranks: np.ndarray, cont_u: np.ndarray) -> np.ndarray:
+    """[B] planted logit (pre-calibration). cat_ranks: int[B,26] 1-based
+    frequency ranks; cont_u: float[B,13] QUANTIZED normalized values
+    (round(u*clip)/clip — exactly what the preprocessor reconstructs)."""
+    B = cat_ranks.shape[0]
+    emb = np.zeros((B, PLANT_DIM), np.float32)
+    sq = np.zeros((B,), np.float32)
+    first = np.zeros((B,), np.float32)
+    for f in range(NUM_CATEGORICAL):
+        r = cat_ranks[:, f]
+        env = _envelope(f, r)
+        e = _hash_vec(f, r, PLANT_DIM, salt=0.5) * env[:, None]
+        emb += e
+        sq += np.sum(e * e, axis=1)
+        first += env * np.sin(r.astype(np.float32) * (0.91 + 0.07 * f) + f)
+    for i in range(NUM_CONTINUOUS):
+        u = cont_u[:, i].astype(np.float32)
+        e = _hash_vec(100 + i, np.zeros(B, np.int64), PLANT_DIM, salt=1.7) * u[:, None]
+        emb += e
+        sq += np.sum(e * e, axis=1)
+        first += np.sin(3.0 * u + i) * (0.6 + 0.05 * i)
+    pair = 0.5 * (np.sum(emb * emb, axis=1) - sq)
+    return 0.8 * first + 0.35 * pair
+
+
+_CAL: Tuple[float, float, float] | None = None
+
+
+def calibration(probe: int = 400_000, seed: int = 1234) -> Tuple[float, float, float]:
+    """(tau, b0, mean): p = sigmoid(tau * (logit - mean) + b0), solved so
+    Bayes AUC ~= BAYES_AUC_TARGET and CTR ~= CTR_TARGET. Deterministic
+    (fixed probe seed), computed once per process (~2s)."""
+    global _CAL
+    if _CAL is not None:
+        return _CAL
+    rng = np.random.default_rng(seed)
+    F = fields()
+    cat = np.stack([F.sample(rng, f, probe) for f in range(NUM_CATEGORICAL)], 1)
+    u = _draw_cont(rng, probe)
+    logit = true_logits(cat, u)
+    mean = float(logit.mean())
+    z = logit - mean
+    # ranks of the true scores, aligned to original indexing (continuous
+    # scores -> tie correction negligible)
+    order = np.argsort(z, kind="stable")
+    ranks = np.empty(probe)
+    ranks[order] = np.arange(1, probe + 1)
+
+    uni = np.random.default_rng(seed + 1).random(probe)
+
+    def solve_b0(tau: float) -> float:
+        """CTR == target at this tau (labels depend on both)."""
+        blo, bhi = -8.0, 8.0
+        for _ in range(60):
+            b0 = (blo + bhi) / 2
+            ctr = float(np.mean(1.0 / (1.0 + np.exp(-(tau * z + b0)))))
+            if ctr < CTR_TARGET:
+                blo = b0
+            else:
+                bhi = b0
+        return (blo + bhi) / 2
+
+    def bayes_auc(tau: float) -> float:
+        """AUC at the ACTUAL operating point (CTR-matched b0) — the
+        label mixture, and therefore AUC, depends on b0."""
+        p = 1.0 / (1.0 + np.exp(-(tau * z + solve_b0(tau))))
+        y = (uni < p).astype(np.float64)
+        n_pos = float(y.sum())
+        n_neg = probe - n_pos
+        rank_sum = float(np.sum(ranks * y))
+        return (rank_sum - n_pos * (n_pos + 1) / 2) / max(n_pos * n_neg, 1.0)
+
+    lo, hi = 0.05, 8.0
+    for _ in range(40):
+        tau = (lo + hi) / 2
+        if bayes_auc(tau) < BAYES_AUC_TARGET:
+            lo = tau
+        else:
+            hi = tau
+    tau = (lo + hi) / 2
+    _CAL = (tau, solve_b0(tau), mean)
+    return _CAL
+
+
+def label_probs(logit: np.ndarray) -> np.ndarray:
+    tau, b0, mean = calibration()
+    return 1.0 / (1.0 + np.exp(-(tau * (logit - mean) + b0)))
+
+
+def _draw_cont(rng: np.random.Generator, n: int) -> np.ndarray:
+    """[n,13] QUANTIZED normalized values u_q = round(u*clip)/clip with
+    skewed u (real integer features are heavy-tailed)."""
+    u = rng.random((n, NUM_CONTINUOUS)) ** 2.2
+    out = np.empty((n, NUM_CONTINUOUS), np.float32)
+    for i, clip in enumerate(CONTINUOUS_CLIP):
+        out[:, i] = np.round(u[:, i] * clip) / clip
+    return out
+
+
+def scaled_cutoff(n_lines: int) -> int:
+    """Quantile-equivalent cutoff preserving the kept vocabulary at
+    sample size n_lines (200 at the full 45.84M)."""
+    return max(2, round(CUTOFF_FULL * n_lines / N_FULL))
+
+
+# ------------------------------------------------------------- raw writing
+def generate_raw(
+    path: str, n_lines: int, seed: int, chunk: int = 200_000
+) -> Dict[str, float]:
+    """Write raw Criteo TSV; returns summary stats."""
+    rng = np.random.default_rng(seed)
+    F = fields()
+    # rank -> raw string tables (hex, field-salted prefix-free)
+    str_tables = [
+        np.array([format(r, "x") for r in range(1, F.vocabs[f] + 1)])
+        for f in range(NUM_CATEGORICAL)
+    ]
+    pos = 0
+    total = 0
+    with open(path, "w") as out:
+        remaining = n_lines
+        while remaining > 0:
+            b = min(chunk, remaining)
+            remaining -= b
+            cat = np.stack(
+                [F.sample(rng, f, b) for f in range(NUM_CATEGORICAL)], 1
+            )
+            uq = _draw_cont(rng, b)
+            logit = true_logits(cat, uq)
+            p = label_probs(logit)
+            y = (rng.random(b) < p).astype(np.int32)
+            pos += int(y.sum())
+            total += b
+            cols = [y.astype("U1")]
+            for i, clip in enumerate(CONTINUOUS_CLIP):
+                cols.append(
+                    np.char.mod("%d", np.round(uq[:, i] * clip).astype(np.int64))
+                )
+            for f in range(NUM_CATEGORICAL):
+                cols.append(str_tables[f][cat[:, f] - 1])
+            rows = np.stack(cols, 1)
+            out.write("\n".join("\t".join(r) for r in rows) + "\n")
+    return {"lines": total, "ctr": pos / max(total, 1)}
+
+
+def bayes_ceiling(n_probe: int = 400_000, seed: int = 777) -> float:
+    """Exact AUC of the TRUE calibrated scores on a fresh sample — the
+    ceiling any model can reach on this distribution."""
+    rng = np.random.default_rng(seed)
+    F = fields()
+    cat = np.stack([F.sample(rng, f, n_probe) for f in range(NUM_CATEGORICAL)], 1)
+    uq = _draw_cont(rng, n_probe)
+    logit = true_logits(cat, uq)
+    p = label_probs(logit)
+    y = (rng.random(n_probe) < p).astype(np.float32)
+    order = np.argsort(logit, kind="stable")
+    ranks = np.empty(n_probe)
+    ranks[order] = np.arange(1, n_probe + 1)
+    n_pos = float(y.sum())
+    n_neg = n_probe - n_pos
+    rank_sum = float(np.sum(ranks * y))
+    return (rank_sum - n_pos * (n_pos + 1) / 2) / max(n_pos * n_neg, 1.0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--train_lines", type=int, default=2_000_000)
+    ap.add_argument("--test_lines", type=int, default=200_000)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args(argv)
+    os.makedirs(a.out_dir, exist_ok=True)
+    st = generate_raw(os.path.join(a.out_dir, "train.txt"), a.train_lines, a.seed)
+    generate_raw(os.path.join(a.out_dir, "test.txt"), a.test_lines, a.seed + 1)
+    print(
+        f"train.txt: {st['lines']:,} lines, ctr={st['ctr']:.4f}; "
+        f"suggested cutoff for this size: {scaled_cutoff(a.train_lines)}; "
+        f"bayes ceiling ~= {bayes_ceiling():.4f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,101 @@ void AppendMatrix(std::ostringstream& os,
   os << "]";
 }
 
+// ---- tf.Example wire format (hand-encoded: no protobuf dependency).
+// Example{1:Features}, Features{1:map<string,Feature>},
+// Feature{2:FloatList|3:Int64List}, lists packed in field 1 — the exact
+// bytes the reference's client produces via protobuf
+// (wide_n_deep_serving_client.cpp:45-56).
+void PutVarint(std::string* out, unsigned long long v) {
+  while (true) {
+    unsigned char b = v & 0x7F;
+    v >>= 7;
+    if (v) {
+      out->push_back(static_cast<char>(b | 0x80));
+    } else {
+      out->push_back(static_cast<char>(b));
+      return;
+    }
+  }
+}
+
+void PutLenField(std::string* out, int field, const std::string& payload) {
+  PutVarint(out, (static_cast<unsigned>(field) << 3) | 2);
+  PutVarint(out, payload.size());
+  out->append(payload);
+}
+
+std::string FloatListFeature(const std::vector<double>& vals) {
+  std::string packed;
+  for (double d : vals) {
+    float f = static_cast<float>(d);
+    char buf[4];
+    std::memcpy(buf, &f, 4);  // little-endian hosts
+    packed.append(buf, 4);
+  }
+  std::string list;
+  PutLenField(&list, 1, packed);
+  std::string feature;
+  PutLenField(&feature, 2, list);
+  return feature;
+}
+
+std::string Int64ListFeature(const std::vector<long long>& vals) {
+  std::string packed;
+  for (long long v : vals)
+    PutVarint(&packed, static_cast<unsigned long long>(v));
+  std::string list;
+  PutLenField(&list, 1, packed);
+  std::string feature;
+  PutLenField(&feature, 3, list);
+  return feature;
+}
+
+std::string SerializeExample(
+    const std::vector<std::pair<std::string, std::string>>& features) {
+  std::string entries;
+  for (const auto& kv : features) {
+    std::string entry;
+    PutLenField(&entry, 1, kv.first);
+    PutLenField(&entry, 2, kv.second);
+    PutLenField(&entries, 1, entry);
+  }
+  std::string example;
+  PutLenField(&example, 1, entries);
+  return example;
+}
+
+std::string Base64(const std::string& in) {
+  static const char* kAlpha =
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+  std::string out;
+  size_t i = 0;
+  while (i + 2 < in.size()) {
+    unsigned n = (static_cast<unsigned char>(in[i]) << 16) |
+                 (static_cast<unsigned char>(in[i + 1]) << 8) |
+                 static_cast<unsigned char>(in[i + 2]);
+    out.push_back(kAlpha[(n >> 18) & 63]);
+    out.push_back(kAlpha[(n >> 12) & 63]);
+    out.push_back(kAlpha[(n >> 6) & 63]);
+    out.push_back(kAlpha[n & 63]);
+    i += 3;
+  }
+  if (i + 1 == in.size()) {
+    unsigned n = static_cast<unsigned char>(in[i]) << 16;
+    out.push_back(kAlpha[(n >> 18) & 63]);
+    out.push_back(kAlpha[(n >> 12) & 63]);
+    out.append("==");
+  } else if (i + 2 == in.size()) {
+    unsigned n = (static_cast<unsigned char>(in[i]) << 16) |
+                 (static_cast<unsigned char>(in[i + 1]) << 8);
+    out.push_back(kAlpha[(n >> 18) & 63]);
+    out.push_back(kAlpha[(n >> 12) & 63]);
+    out.push_back(kAlpha[(n >> 6) & 63]);
+    out.push_back('=');
+  }
+  return out;
+}
+
 }  // namespace
 
 std::string ServingClient::httpRequest(const std::string& method,
@@ -199,12 +294,29 @@ std::vector<double> ServingClient::callPredictExample(
     const std::string& model_name,
     const std::vector<std::vector<double>>& cont_features,
     const std::vector<std::vector<long long>>& cat_features) {
+  // The reference's parsing-signature wire format: per example one
+  // serialized tf.Example with named features I1..I13 (float_list) and
+  // C1..C26 (int64_list), shipped as a binary string tensor — here via
+  // the TF-Serving REST b64 convention
+  // (wide_n_deep_serving_client.cpp:45-62 parity).
   std::ostringstream body;
-  body << "{\"inputs\":{\"cont\":";
-  AppendMatrix(body, cont_features);
-  body << ",\"cat\":";
-  AppendMatrix(body, cat_features);
-  body << "}}";
+  body << "{\"instances\":[";
+  for (size_t row = 0; row < cont_features.size(); ++row) {
+    std::vector<std::pair<std::string, std::string>> feats;
+    for (size_t i = 0; i < cont_features[row].size(); ++i) {
+      feats.emplace_back("I" + std::to_string(i + 1),
+                         FloatListFeature({cont_features[row][i]}));
+    }
+    const auto& cats = row < cat_features.size() ? cat_features[row]
+                                                 : cat_features.back();
+    for (size_t i = 0; i < cats.size(); ++i) {
+      feats.emplace_back("C" + std::to_string(i + 1),
+                         Int64ListFeature({cats[i]}));
+    }
+    if (row) body << ",";
+    body << "{\"b64\":\"" << Base64(SerializeExample(feats)) << "\"}";
+  }
+  body << "]}";
   std::string resp = httpRequest(
       "POST", "/v1/models/" + model_name + ":predict", body.str());
   if (resp.empty()) return {};

@@ -174,6 +174,24 @@ class PredictionServer:
                         instances = [
                             {k: v[i] for k, v in cols.items()} for i in range(n)
                         ]
+                    if instances and isinstance(instances[0], dict) and "b64" in instances[0]:
+                        # parsing signature: each instance is a serialized
+                        # tf.Example (TF-Serving REST binary convention;
+                        # wide_n_deep_serving_client.cpp:45-62 parity)
+                        import base64
+
+                        from tf_repos_tpu.serve.example_proto import (
+                            decode_example,
+                            instance_from_example,
+                        )
+
+                        names = list(outer.scorer.signature["inputs"].keys())
+                        instances = [
+                            instance_from_example(
+                                decode_example(base64.b64decode(inst["b64"])), names
+                            )
+                            for inst in instances
+                        ]
                     out = outer.batcher.submit(instances)
                     preds = _predictions_payload(out)
                     self._reply(
