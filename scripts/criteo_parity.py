@@ -1,0 +1,179 @@
+"""Criteo-surrogate AUC parity protocol (VERDICT r1 item 1).
+
+Runs the full reference flow on the statistics-faithful surrogate
+(data/criteo_surrogate.py) and writes CRITEO_PARITY.md + .json:
+
+  1. generate raw train.txt/test.txt at --train_lines (default 2M);
+  2. preprocess with the quantile-equivalent cutoff (features/criteo.py,
+     the reference's get_criteo_feature.py flow) and check the resulting
+     feature_size against the published 117,581;
+  3. compute the surrogate's Bayes ceiling (achievable by construction);
+  4. train DeepFM and DCN with the reference's PUBLISHED hyperparameters
+     (lr=5e-4, Adam, 1 epoch, deep 400,400,400, dropout 0.5 —
+     deep_ctr/README.md:51) and with the TPU operating point, sweeping
+     the LR x batch grid — the async-PS -> sync-SPMD convergence-delta
+     study promised in SURVEY §7;
+  5. acceptance: best AUC >= 99% of the Bayes ceiling, and the
+     published-hyper run lands in the same band the reference reports
+     for real Criteo (AUC = 0.8 +- 0.003 against a ~0.803 ceiling).
+
+    python scripts/criteo_parity.py [--train_lines 2000000] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(a) -> dict:
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data import criteo_surrogate as CS
+    from tf_repos_tpu.features.criteo import preprocess
+    from tf_repos_tpu.train.harness import run_task
+
+    work = a.work_dir
+    data = os.path.join(work, "raw")
+    out = os.path.join(work, "proc")
+    os.makedirs(data, exist_ok=True)
+    results: dict = {"train_lines": a.train_lines}
+
+    CS.configure(a.train_lines)
+
+    t0 = time.time()
+    raw_train = os.path.join(data, "train.txt")
+    if not os.path.exists(raw_train):
+        st = CS.generate_raw(raw_train, a.train_lines, seed=0)
+        CS.generate_raw(os.path.join(data, "test.txt"), a.test_lines, seed=1)
+        results["ctr"] = st["ctr"]
+    print(f"[gen] {time.time() - t0:.0f}s")
+
+    cutoff = CS.scaled_cutoff(a.train_lines)
+    t0 = time.time()
+    if not os.path.exists(os.path.join(out, "feature_map")):
+        stats = preprocess(data, out, cutoff=cutoff)
+    else:
+        fm = sum(1 for _ in open(os.path.join(out, "feature_map")))
+        stats = {"feature_size": fm, "field_size": 39}
+    feature_size = stats["feature_size"]
+    results["cutoff"] = cutoff
+    results["feature_size"] = feature_size
+    results["feature_size_target"] = CS.FEATURE_SIZE_TARGET
+    results["feature_size_delta_pct"] = round(
+        100.0 * (feature_size - CS.FEATURE_SIZE_TARGET) / CS.FEATURE_SIZE_TARGET, 2
+    )
+    print(
+        f"[preprocess] {time.time() - t0:.0f}s cutoff={cutoff} "
+        f"feature_size={feature_size} ({results['feature_size_delta_pct']:+.1f}% vs 117,581)"
+    )
+
+    ceiling = CS.bayes_ceiling()
+    results["bayes_ceiling"] = round(ceiling, 4)
+    print(f"[ceiling] {ceiling:.4f}")
+
+    # ---- training grid
+    def train_once(model: str, lr: float, batch: int, epochs: int, tag: str):
+        cfg = Config(
+            model=model, feature_size=feature_size, field_size=39,
+            embedding_size=a.embedding_size, deep_layers=a.deep_layers,
+            dropout=a.dropout, batch_size=batch, num_epochs=epochs,
+            log_steps=200, learning_rate=lr, l2_reg=a.l2_reg,
+            optimizer="Adam", data_dir=out,
+            model_dir=os.path.join(work, f"model_{tag}"), dt_dir="p",
+            eval_throttle_secs=0, clear_existing_model=True,
+            cross_layers=3,
+        )
+        t0 = time.time()
+        m = run_task(cfg)
+        wall = time.time() - t0
+        rec = {
+            "model": model, "lr": lr, "batch": batch, "epochs": epochs,
+            "auc": round(m["auc"], 4), "loss": round(m["loss"], 5),
+            "pct_of_ceiling": round(100.0 * m["auc"] / ceiling, 2),
+            "wall_s": round(wall, 1),
+        }
+        print(f"[train] {rec}")
+        return rec
+
+    runs = []
+    # the reference's published command line (deep_ctr/README.md:51)
+    runs.append(train_once("DeepFM", 5e-4, 256, 1, "ref_deepfm"))
+    if not a.quick:
+        runs.append(train_once("DCN", 5e-4, 256, 1, "ref_dcn"))
+        # async-PS -> sync-SPMD delta study: LR x batch sweep
+        for batch in (4096, 16384):
+            for lr in (5e-4, 1e-3, 2e-3):
+                runs.append(
+                    train_once("DeepFM", lr, batch, a.sweep_epochs, f"s{batch}_{lr}")
+                )
+    results["runs"] = runs
+    best = max(r["auc"] for r in runs)
+    results["best_auc"] = best
+    results["best_pct_of_ceiling"] = round(100.0 * best / ceiling, 2)
+    results["pass_99pct"] = bool(best >= 0.99 * ceiling)
+    return results
+
+
+def write_report(results: dict, path: str) -> None:
+    lines = [
+        "# Criteo-surrogate AUC parity (protocol: scripts/criteo_parity.py)",
+        "",
+        f"- surrogate: {results['train_lines']:,} lines, cutoff "
+        f"{results['cutoff']} (quantile-equivalent to the reference's "
+        f"cutoff=200 at 45.84M lines)",
+        f"- feature_size: **{results['feature_size']:,}** vs published "
+        f"117,581 ({results['feature_size_delta_pct']:+.1f}%)",
+        f"- Bayes ceiling (achievable by construction): "
+        f"**{results['bayes_ceiling']:.4f}** — calibrated to the "
+        f"reference's published band (AUC=0.8±0.003, deep_ctr/README.md:38-45)",
+        f"- best trained AUC: **{results['best_auc']:.4f}** = "
+        f"{results['best_pct_of_ceiling']:.1f}% of ceiling "
+        f"({'PASS' if results['pass_99pct'] else 'FAIL'} >=99% criterion)",
+        "",
+        "| model | lr | batch | epochs | AUC | % of ceiling | wall s |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in results["runs"]:
+        lines.append(
+            f"| {r['model']} | {r['lr']} | {r['batch']} | {r['epochs']} "
+            f"| {r['auc']:.4f} | {r['pct_of_ceiling']:.1f}% | {r['wall_s']} |"
+        )
+    lines += [
+        "",
+        "The LR x batch sweep is the async-PS -> sync-SPMD convergence-delta",
+        "study (SURVEY §7): the reference trained asynchronously at batch 256;",
+        "the sync data-parallel path trains at large batch with scaled LR.",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--train_lines", type=int, default=2_000_000)
+    ap.add_argument("--test_lines", type=int, default=200_000)
+    ap.add_argument("--work_dir", default="/tmp/criteo_parity")
+    ap.add_argument("--deep_layers", default="400,400,400")
+    ap.add_argument("--dropout", default="0.5,0.5,0.5")
+    ap.add_argument("--embedding_size", type=int, default=16)
+    ap.add_argument("--l2_reg", type=float, default=1e-5)
+    ap.add_argument("--sweep_epochs", type=int, default=2)
+    ap.add_argument("--quick", action="store_true")
+    a = ap.parse_args(argv)
+    results = run(a)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "CRITEO_PARITY.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    write_report(results, os.path.join(repo, "CRITEO_PARITY.md"))
+    print(json.dumps({k: v for k, v in results.items() if k != "runs"}))
+
+
+if __name__ == "__main__":
+    main()

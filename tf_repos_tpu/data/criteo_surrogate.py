@@ -88,39 +88,47 @@ def field_targets() -> List[int]:
     return targets
 
 
-def _zipf_exponent(kept: int, vocab: int) -> float:
-    """Solve s so that at the full-dataset operating point the id at
-    frequency-rank `kept` receives exactly CUTOFF_FULL occurrences:
-    N_FULL * p_kept == CUTOFF_FULL with p_r (proportional to) r^-s over
-    1..vocab."""
+def _zipf_exponent(kept: int, vocab: int, n_lines: int, cutoff: int) -> float:
+    """Solve s so the EXPECTED number of ids whose empirical count
+    reaches `cutoff` equals `kept`:  sum_r P(Poisson(n*p_r) >= cutoff)
+    == kept.  (A deterministic-threshold solve overshoots badly at small
+    cutoffs: Poisson fluctuation lets a wide band of sub-boundary ranks
+    through — measured +31% kept at 1M lines / cutoff 4.)"""
+    from scipy.stats import poisson
+
     ranks = np.arange(1, vocab + 1, dtype=np.float64)
-    lo, hi = 0.05, 3.0
-    for _ in range(80):
-        s = (lo + hi) / 2
+
+    def expected_kept(s: float) -> float:
         w = ranks**-s
-        p_kept = w[kept - 1] / w.sum()
-        if N_FULL * p_kept > CUTOFF_FULL:
-            lo = s  # head too heavy at the boundary -> steepen
+        lam = n_lines * (w / w.sum())
+        return float(poisson.sf(cutoff - 1, lam).sum())
+
+    lo, hi = 0.05, 3.5
+    for _ in range(60):
+        s = (lo + hi) / 2
+        if expected_kept(s) > kept:
+            lo = s  # too many survivors -> steepen the tail
         else:
             hi = s
     return (lo + hi) / 2
 
 
 class _Fields:
-    """Per-field sampling tables + plant parameters (deterministic)."""
+    """Per-field sampling tables + plant parameters, calibrated for a
+    given (n_lines, cutoff) operating point (deterministic)."""
 
-    def __init__(self):
+    def __init__(self, n_lines: int = N_FULL, cutoff: int = CUTOFF_FULL):
+        self.n_lines = n_lines
+        self.cutoff = cutoff
         self.targets = field_targets()
         self.vocabs: List[int] = []
         self.cdfs: List[np.ndarray] = []
-        self.pmfs: List[np.ndarray] = []
         for kept in self.targets:
             vocab = max(kept * _TAIL_OVER, kept + 2)
-            s = _zipf_exponent(kept, vocab)
+            s = _zipf_exponent(kept, vocab, n_lines, cutoff)
             w = np.arange(1, vocab + 1, dtype=np.float64) ** -s
             p = w / w.sum()
             self.vocabs.append(vocab)
-            self.pmfs.append(p)
             self.cdfs.append(np.cumsum(p))
 
     def sample(self, rng: np.random.Generator, f: int, n: int) -> np.ndarray:
@@ -130,6 +138,15 @@ class _Fields:
 
 
 _FIELDS: _Fields | None = None
+
+
+def configure(n_lines: int) -> None:
+    """Calibrate the per-field distributions for a generation run of
+    n_lines (cutoff = scaled_cutoff(n_lines)). Resets the label
+    calibration, which depends on the rank distributions."""
+    global _FIELDS, _CAL
+    _FIELDS = _Fields(n_lines, scaled_cutoff(n_lines))
+    _CAL = None
 
 
 def fields() -> _Fields:
@@ -332,6 +349,7 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     a = ap.parse_args(argv)
     os.makedirs(a.out_dir, exist_ok=True)
+    configure(a.train_lines)
     st = generate_raw(os.path.join(a.out_dir, "train.txt"), a.train_lines, a.seed)
     generate_raw(os.path.join(a.out_dir, "test.txt"), a.test_lines, a.seed + 1)
     print(
