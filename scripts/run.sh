@@ -14,10 +14,14 @@ FEATURE_SIZE="${FEATURE_SIZE:-100000}"
 MODEL_ROOT="${MODEL_ROOT:-/tmp/tf_repos_tpu_smoke/models}"
 EPOCHS="${EPOCHS:-1}"
 BATCH="${BATCH:-256}"
+TRAIN_LINES="${TRAIN_LINES:-5000}"
+# MODELS: space-separated subset of the libsvm zoo (CI fast mode runs
+# MODELS="DeepFM" TRAIN_LINES=500); SKIP_CSV/SKIP_ALICCP skip those legs
+MODELS="${MODELS:-LR FNN IPNN OPNN DeepFM NFM AFM DCN DeepMVM}"
 
 if [ ! -f "$DATA_DIR/tr.libsvm" ]; then
   python -m tf_repos_tpu.data.synthetic --out_dir "$DATA_DIR" \
-      --format libsvm --feature_size "$FEATURE_SIZE" --train 5000 --valid 1000 --test 1000
+      --format libsvm --feature_size "$FEATURE_SIZE" --train "$TRAIN_LINES" --valid 500 --test 500
 fi
 CSV_DIR="$DATA_DIR/csv"
 if [ ! -f "$CSV_DIR/tr.csv" ]; then
@@ -35,7 +39,7 @@ common="--feature_size=$FEATURE_SIZE --field_size=39 --embedding_size=16 \
   --log_steps=10 --eval_throttle_secs=0 --dt_dir=smoke"
 
 # libsvm zoo (reference run.sh order: LR ... DCN, deep_ctr/run.sh:7-24)
-for model in LR FNN IPNN OPNN DeepFM NFM AFM DCN DeepMVM; do
+for model in $MODELS; do
   echo "==== $model ===="
   python -m tf_repos_tpu.main --model="$model" --task_type=train \
       --data_dir="$DATA_DIR" --model_dir="$MODEL_ROOT/$model/" $common
@@ -43,13 +47,16 @@ for model in LR FNN IPNN OPNN DeepFM NFM AFM DCN DeepMVM; do
       --data_dir="$DATA_DIR" --model_dir="$MODEL_ROOT/$model/" $common
 done
 
+if [ -z "${SKIP_CSV:-}" ]; then
 echo "==== wide_n_deep (csv) ===="
 python -m tf_repos_tpu.main --model=wide_n_deep --task_type=train \
     --data_dir="$CSV_DIR" --model_dir="$MODEL_ROOT/wdl/" \
     --field_size=39 --embedding_size=16 --deep_layers=128,64 --dropout=0.8,0.8 \
     --num_epochs="$EPOCHS" --batch_size="$BATCH" --log_steps=10 \
     --eval_throttle_secs=0 --dt_dir=smoke
+fi
 
+if [ -z "${SKIP_ALICCP:-}" ]; then
 for model in DIN ESMM; do
   echo "==== $model (aliccp) ===="
   python -m tf_repos_tpu.main --model="$model" --task_type=train \
@@ -59,5 +66,6 @@ for model in DIN ESMM; do
       --num_epochs="$EPOCHS" --batch_size="$BATCH" --log_steps=10 \
       --eval_throttle_secs=0 --dt_dir=smoke
 done
+fi
 
 echo "ALL MODELS OK"
