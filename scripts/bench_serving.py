@@ -90,14 +90,54 @@ def main(argv=None):
         f"fit: latency = {slope:.4f}*batch + {intercept:.3f} ms "
         f"(reference: 0.5256*batch + 15.449 ms, deep_ctr/README.md:78-81)"
     )
+
+    # ---- server-side decomposition (VERDICT r1 item 10): where does the
+    # fixed cost live? batchify (host array assembly) vs the device leg
+    # (dispatch + execute + sync — includes the axon tunnel round trip on
+    # this rig). colocated_fixed_est removes the tunnel: it is what the
+    # fixed cost would be with the server on the TPU host.
+    stats = json.loads(
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/stats", timeout=10
+        ).read()
+    )
+    device_p50 = stats.get("device_ms", {}).get("p50", 0.0)
+    batchify_p50 = stats.get("batchify_ms", {}).get("p50", 0.0)
+    http_overhead = max(float(intercept) - device_p50 - batchify_p50, 0.0)
+    # measure the bare device round trip (empty sync) to isolate the tunnel
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros(())
+    float(x)
+    t = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(x + 1.0)
+        t.append((time.perf_counter() - t0) * 1e3)
+    tunnel_ms = float(np.median(t))
+    colocated_fixed = max(float(intercept) - tunnel_ms, 0.0)
+    print(
+        f"decomposition: batchify={batchify_p50:.2f} device={device_p50:.2f} "
+        f"http~={http_overhead:.2f} bare_device_sync={tunnel_ms:.2f} ms\n"
+        f"colocated fixed estimate = {colocated_fixed:.2f} ms "
+        f"(total fixed {intercept:.2f} minus the measured tunnel round trip)"
+    )
     print(
         json.dumps(
             {
                 "metric": "serving_latency_fit",
                 "ms_per_example": round(float(slope), 4),
                 "ms_fixed": round(float(intercept), 3),
+                "ms_fixed_colocated_est": round(colocated_fixed, 3),
+                "server_device_ms_p50": round(device_p50, 3),
+                "server_batchify_ms_p50": round(batchify_p50, 3),
+                "bare_device_sync_ms": round(tunnel_ms, 3),
                 "vs_baseline_per_example": round(0.5256 / max(float(slope), 1e-6), 1),
                 "vs_baseline_fixed": round(15.449 / max(float(intercept), 1e-6), 1),
+                "vs_baseline_fixed_colocated": round(
+                    15.449 / max(colocated_fixed, 1e-6), 1
+                ),
             }
         )
     )

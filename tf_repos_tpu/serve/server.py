@@ -53,6 +53,7 @@ class MicroBatcher:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.q: "queue.Queue[_Pending]" = queue.Queue()
+        self.timings: list = []  # rolling window for GET /stats
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
@@ -91,7 +92,14 @@ class MicroBatcher:
                 total += len(nxt.instances)
             flat = [inst for p in group for inst in p.instances]
             try:
+                t0 = time.perf_counter()
                 out = self.scorer.score(flat)
+                rec = dict(self.scorer.last_timing)
+                rec["score_ms"] = (time.perf_counter() - t0) * 1e3
+                rec["n"] = len(flat)
+                self.timings.append(rec)
+                if len(self.timings) > 512:
+                    del self.timings[:256]
                 off = 0
                 for p in group:
                     n = len(p.instances)
@@ -137,6 +145,24 @@ class PredictionServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._reply(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    # server-side latency decomposition (batchify vs
+                    # device leg) over the recent scoring window
+                    import numpy as _np
+
+                    t = outer.batcher.timings[-256:]
+                    if not t:
+                        self._reply(200, {"count": 0})
+                        return
+                    agg = {"count": len(t)}
+                    for k in ("batchify_ms", "device_ms", "score_ms"):
+                        v = _np.asarray([r[k] for r in t if k in r])
+                        if len(v):
+                            agg[k] = {
+                                "p50": round(float(_np.median(v)), 3),
+                                "p99": round(float(_np.percentile(v, 99)), 3),
+                            }
+                    self._reply(200, agg)
                 elif self.path.startswith("/v1/models/"):
                     self._reply(
                         200,
