@@ -70,3 +70,55 @@ def test_run_dist_sh_two_processes(tmp_path):
     # SPMD lockstep check: both workers print loss lines
     loss_lines = [l for l in r.stdout.splitlines() if "loss =" in l]
     assert loss_lines, r.stdout[-2000:]
+
+
+def test_aliccp_mr_launchers_local_mode(tmp_path):
+    """The Hadoop-streaming wrappers (scripts/aliccp_mr/, parity with
+    DeepMTL/Feature_pipeline/get_*.sh) chain correctly in LOCAL=1 mode:
+    map | sort | reduce per stage, same contract as the cluster job."""
+    import random
+
+    rng = random.Random(0)
+    skel, comm = [], []
+    for ci in range(5):
+        feats = "\x01".join(
+            f"109_14\x02{rng.randint(100, 110)}\x031.0" for _ in range(3)
+        )
+        comm.append(f"c{ci},3,{feats}")
+    for si in range(40):
+        y, z = rng.randint(0, 1), rng.randint(0, 1)
+        feats = "\x01".join(
+            [f"205\x02{rng.randint(1, 5)}\x031.0", f"206\x02{rng.randint(6, 9)}\x031.0"]
+        )
+        skel.append(f"s{si},{y},{z},c{si % 5},2,{feats}")
+    raw = "\n".join(skel + comm) + "\n"
+
+    env = _env(tmp_path, LOCAL="1", CUTOFF="1")
+    mr = os.path.join(REPO, "scripts", "aliccp_mr")
+
+    def run_stage(script, stdin, *args):
+        r = subprocess.run(
+            ["bash", os.path.join(mr, script), *args],
+            input=stdin, capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    joined = run_stage("get_join_sample.sh", raw, "tr")
+    assert joined and all(
+        not (l.split(",")[1] == "0" and l.split(",")[2] == "1")
+        for l in joined.splitlines()
+    )
+    counts = run_stage("get_stat_feat.sh", joined)
+    assert counts and all("\t" in l for l in counts.splitlines())
+    cnts_file = tmp_path / "feat_cnts.txt"
+    cnts_file.write_text(counts)
+    remapped = run_stage("get_remap_fid.sh", joined, "tr", str(cnts_file))
+    lines = [l for l in remapped.splitlines() if l]
+    assert lines
+    from tf_repos_tpu.features.aliccp import REMAP_BASE
+
+    for line in lines[:10]:
+        _, _, _, feats = line.split(",", 3)
+        for fstr in feats.split(" "):
+            assert int(fstr.split(":")[1]) >= REMAP_BASE
