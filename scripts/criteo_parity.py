@@ -84,11 +84,14 @@ def run(a) -> dict:
             model=model, feature_size=feature_size, field_size=39,
             embedding_size=a.embedding_size, deep_layers=a.deep_layers,
             dropout=a.dropout, batch_size=batch, num_epochs=epochs,
-            log_steps=200, learning_rate=lr, l2_reg=a.l2_reg,
-            optimizer="Adam", data_dir=out,
+            log_steps=1000 if batch <= 512 else 200, learning_rate=lr,
+            l2_reg=a.l2_reg, optimizer="Adam", data_dir=out,
             model_dir=os.path.join(work, f"model_{tag}"), dt_dir="p",
             eval_throttle_secs=0, clear_existing_model=True,
             cross_layers=3,
+            # the axon tunnel costs ~0.4-0.6s fixed per dispatch; scan
+            # K steps per dispatch so small-batch runs aren't RPC-bound
+            steps_per_dispatch=64 if batch <= 512 else 8,
         )
         t0 = time.time()
         m = run_task(cfg)

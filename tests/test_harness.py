@@ -131,3 +131,16 @@ def test_clear_existing_model(workdir):
     m1 = run_task(cfg)
     m2 = run_task(cfg.replace(clear_existing_model=True))
     assert m2["step"] == m1["step"]
+
+
+def test_steps_per_dispatch_matches_single(workdir):
+    """K steps per dispatch (lax.scan host-loop amortization) must
+    produce the same training trajectory as per-step dispatch (rng only
+    feeds dropout, which is off here)."""
+    m1 = run_task(make_cfg(workdir, model_dir=str(workdir / "m1")))
+    m4 = run_task(
+        make_cfg(workdir, model_dir=str(workdir / "m4"), steps_per_dispatch=4)
+    )
+    assert m1["step"] == m4["step"]
+    assert abs(m1["auc"] - m4["auc"]) < 1e-5
+    assert abs(m1["loss"] - m4["loss"]) < 1e-5

@@ -96,6 +96,20 @@ class Config:
     # "auto:<feature_map path>" — enables the Pallas field-block scatter
     # for table gradients on the single-chip path (ops/pallas_embedding.py)
     field_blocks: str = ""
+    # K training steps per device dispatch (lax.scan host-loop
+    # amortization, train/loop.build_multi_train_step): pays fixed
+    # dispatch/transfer costs once per K steps. Essential on tunneled /
+    # high-latency device topologies; harmless (minor win) on directly
+    # attached chips. Single-chip dense path; log/eval/ckpt cadences
+    # round to dispatch boundaries.
+    steps_per_dispatch: int = 1
+    # first N libsvm fields have CONSTANT ids 1..N (the Criteo
+    # preprocessor emits continuous features that way, features/criteo.py
+    # _emit_line): their table rows are SLICED instead of gathered, and
+    # their gradient is a dense slice-update instead of scatter rows —
+    # cuts the HBM-transaction-bound gather/scatter row count by N/39.
+    # Single-chip path; correctness requires the preprocessor layout.
+    static_fields: int = 0
     # lazy touched-rows optimizer updates for big embedding tables
     # (train/sparse.py): the async-PS behavior of the reference
     # (DeepCvrMTL.py:122) — only rows present in the batch move, the

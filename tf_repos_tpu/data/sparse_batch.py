@@ -49,8 +49,8 @@ class SparseBatchMapper:
 
             fields = [np.asarray(batch[f]) for f in slot.fields]
             # +1: id 0 is force-marked below, worst case on top of N
-            # distinct nonzero ids
-            s_pad = sum(int(a.size) for a in fields) + 1
+            # distinct nonzero ids; and never more than the vocab itself
+            s_pad = min(sum(int(a.size) for a in fields) + 1, vocab)
             ids = np.concatenate([a.ravel() for a in fields])
             # id 0 (the reserved padding row) is always in the unique set;
             # u is ascending, so 0 keeps position 0 and the models'

@@ -73,7 +73,24 @@ class DeepFM(CtrModel):
         ids = batch["feat_ids"].reshape(-1, cfg.field_size)
         vals = batch["feat_vals"].reshape(-1, cfg.field_size)
 
-        y_w, emb = fused_linear_lookup(params["fm_wv"], ids, vals, lookup)
+        sf = cfg.static_fields
+        if sf > 0 and lookup is dense_lookup:
+            # Criteo layout: fields 0..sf-1 carry constant ids 1..sf
+            # (features/criteo.py emits continuous features that way), so
+            # their rows come from a SLICE — no gather forward, no
+            # scatter rows backward. The remaining gather/scatter shrinks
+            # from B*F to B*(F-sf) rows (the HBM-transaction-bound cost).
+            table = params["fm_wv"]
+            srows = jax.lax.dynamic_slice_in_dim(table, 1, sf, 0)  # [sf,1+K]
+            y_w_s = jnp.einsum("f,bf->b", srows[:, 0], vals[:, :sf])
+            emb_s = srows[None, :, 1:] * vals[:, :sf, None]  # [B,sf,K]
+            y_w_d, emb_d = fused_linear_lookup(
+                table, ids[:, sf:], vals[:, sf:], lookup
+            )
+            y_w = y_w_s + y_w_d
+            emb = jnp.concatenate([emb_s, emb_d], axis=1)
+        else:
+            y_w, emb = fused_linear_lookup(params["fm_wv"], ids, vals, lookup)
         y_v = I.fm_second_order(emb)
 
         deep_in = emb.reshape(emb.shape[0], -1)

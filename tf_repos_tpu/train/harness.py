@@ -63,6 +63,12 @@ class Harness:
                     f"WARNING: --sparse_table_update: {self.model.name} "
                     "declares no sparse tables; using the dense path"
                 )
+        if cfg.static_fields and self._sparse_slots is not None:
+            raise ValueError(
+                "--static_fields and --sparse_table_update are mutually "
+                "exclusive (the sparse mapper remaps ids, breaking the "
+                "constant-id slice contract)"
+            )
         self._table_dtype = None
         if cfg.param_dtype not in ("float32", "f32", ""):
             if cfg.param_dtype not in ("bfloat16", "bf16"):
@@ -270,6 +276,18 @@ class Harness:
         step = int(ts.pop("step", 0))
         state = {k: ts[k] for k in ("params", "opt_state", "mstate")}
         train_step = self._get_train_step()
+        # K steps per dispatch (host-loop amortization; see config)
+        K = cfg.steps_per_dispatch
+        if K > 1 and (self.mesh is not None or self._sparse_slots is not None):
+            print("WARNING: steps_per_dispatch>1 is single-chip dense-path only")
+            K = 1
+        multi_step = (
+            L.build_multi_train_step(
+                self.model, self.tx, K, lookup=self._field_block_lookup()
+            )
+            if K > 1
+            else None
+        )
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
         if cfg.check_numerics:
@@ -288,24 +306,63 @@ class Harness:
         last_log, last_eval = t0, t0
         metrics: Dict[str, float] = {}
 
-        for batch in self._dataset("tr", shuffle=True, epochs=cfg.num_epochs):
-            if cfg.profile_steps and step == cfg.profile_start_step:
-                from tf_repos_tpu.utils.observability import profile_trace
+        group: List = []
+        last_log_step = step
 
-                profiler = profile_trace(os.path.join(self.model_dir, "profile"))
-                profiler.__enter__()
-            rng, sub = jax.random.split(rng)
-            state, loss = train_step(state, self._place(batch), sub)
-            step += 1
-            losses.append(loss)
-            if profiler and step >= cfg.profile_start_step + cfg.profile_steps:
-                float(loss)  # device sync so the trace covers the window
-                profiler.__exit__()
-                profiler = None
-            if step % cfg.log_steps == 0:
+        def run_group(state, rng, batches):
+            """Dispatch len(batches) steps: one scan dispatch for a full
+            K-group, per-batch single steps for the tail."""
+            if multi_step is not None and len(batches) == K:
+                rng, sub = jax.random.split(rng)
+                p, o, m, lossk = multi_step(
+                    state["params"], state["opt_state"], state["mstate"],
+                    L.stack_batches(batches), sub,
+                )
+                return {"params": p, "opt_state": o, "mstate": m}, rng, lossk
+            outs = []
+            for b in batches:
+                rng, sub = jax.random.split(rng)
+                state, loss = train_step(state, self._place(b), sub)
+                outs.append(loss)
+            return state, rng, jnp.stack([jnp.asarray(x) for x in outs])
+
+        for batch in self._dataset("tr", shuffle=True, epochs=cfg.num_epochs):
+            if K > 1:
+                group.append(batch)
+                if len(group) < K:
+                    continue
+                state, rng, lossk = run_group(state, rng, group)
+                group = []
+                loss = lossk[-1]
+                losses.append(lossk)
+                step += K
+            else:
+                if cfg.profile_steps and step == cfg.profile_start_step:
+                    from tf_repos_tpu.utils.observability import profile_trace
+
+                    profiler = profile_trace(os.path.join(self.model_dir, "profile"))
+                    profiler.__enter__()
+                rng, sub = jax.random.split(rng)
+                state, loss = train_step(state, self._place(batch), sub)
+                step += 1
+                losses.append(loss)
+                if profiler and step >= cfg.profile_start_step + cfg.profile_steps:
+                    float(loss)  # device sync so the trace covers the window
+                    profiler.__exit__()
+                    profiler = None
+            # cadence boundaries: "crossed within this dispatch" — for
+            # K==1 this is exactly `step % n == 0`
+            if step % cfg.log_steps < K:
                 now = time.time()
-                mean_loss = float(jnp.mean(jnp.stack(losses[-cfg.log_steps:])))
-                rate = cfg.log_steps / max(now - last_log, 1e-9)
+                mean_loss = float(
+                    jnp.mean(
+                        jnp.concatenate(
+                            [jnp.atleast_1d(x) for x in losses]
+                        )[-cfg.log_steps:]
+                    )
+                )
+                rate = (step - last_log_step) / max(now - last_log, 1e-9)
+                last_log_step = step
                 print(
                     f"INFO: step = {step}, loss = {mean_loss:.5f} "
                     f"({rate:.3f} steps/sec, {rate * cfg.batch_size:.0f} examples/sec)"
@@ -331,7 +388,7 @@ class Harness:
             # collective step counts and deadlock).
             # (eval_throttle_secs < 0 -> eval at every decision boundary;
             # used by tests for a clock-free deterministic cadence)
-            if cfg.eval_throttle_secs and step % cfg.eval_decision_steps == 0:
+            if cfg.eval_throttle_secs and step % cfg.eval_decision_steps < K:
                 want = time.time() - last_eval > cfg.eval_throttle_secs
                 if jax.process_count() > 1:
                     from jax.experimental import multihost_utils
@@ -347,6 +404,9 @@ class Harness:
                         writer.write(step, metrics, kind="eval")
                     last_eval = time.time()
 
+        if group:  # tail batches of an unfinished K-group
+            state, rng, lossk = run_group(state, rng, group)
+            step += len(group)
         if profiler:
             profiler.__exit__()
         ckpt.save(step, dict(state, step=step), force=True)

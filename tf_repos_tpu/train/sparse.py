@@ -46,8 +46,15 @@ UIDS_PREFIX = "__uids_"
 
 def take_rows(a: jax.Array, u: jax.Array) -> jax.Array:
     """Gather rows at u; sentinel (out-of-range) rows come back zero, so
-    they contribute nothing to touched-row L2 and get zero gradients."""
-    return a.at[u].get(mode="fill", fill_value=0)
+    they contribute nothing to touched-row L2 and get zero gradients.
+
+    CONTRACT: u is ascending and duplicate-free (data/sparse_batch.py
+    builds it from a flag-array flatnonzero, sentinel-padded at the end)
+    — the sorted/unique flags let XLA skip its conservative scatter/
+    gather lowering."""
+    return a.at[u].get(
+        mode="fill", fill_value=0, unique_indices=True, indices_are_sorted=True
+    )
 
 
 def take_rows_f32(a: jax.Array, u: jax.Array) -> jax.Array:
@@ -58,8 +65,11 @@ def take_rows_f32(a: jax.Array, u: jax.Array) -> jax.Array:
 
 def put_rows(a: jax.Array, u: jax.Array, rows: jax.Array) -> jax.Array:
     """Scatter rows back at u (unique => collision-free); sentinel rows
-    are dropped. With donated inputs XLA performs this in place."""
-    return a.at[u].set(rows, mode="drop")
+    are dropped. With donated inputs XLA performs this in place. Same
+    sorted/unique contract as take_rows."""
+    return a.at[u].set(
+        rows, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
 
 
 class SparseRowOpt(NamedTuple):
