@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch_size", type=int, default=16384)
     p.add_argument("--feature_size", type=int, default=117_581)
+    p.add_argument("--model", default="DeepFM")
+    p.add_argument("--learning_rate", type=float, default=0.001)
+    p.add_argument("--l2_reg", type=float, default=1e-6)
+    p.add_argument("--steps_per_dispatch", type=int, default=8)
     p.add_argument("--work_dir", default="")
     a = p.parse_args(argv)
 
@@ -65,17 +69,19 @@ def main(argv=None):
     bayes_auc = float(M.exact_auc(jnp.asarray(probe["label"]), jnp.asarray(true_logit)))
 
     cfg = Config(
-        model="DeepFM", feature_size=a.feature_size, field_size=39,
+        model=a.model, feature_size=a.feature_size, field_size=39,
         embedding_size=16, deep_layers="256,128,64", dropout="0.9,0.9,0.9",
         batch_size=a.batch_size, num_epochs=a.epochs, log_steps=20,
-        learning_rate=0.001, l2_reg=1e-6, optimizer="Adam",
+        learning_rate=a.learning_rate, l2_reg=a.l2_reg, optimizer="Adam",
         data_dir=data, model_dir=os.path.join(work, "model"), dt_dir="demo",
-        eval_throttle_secs=0,
+        eval_throttle_secs=0, clear_existing_model=True,
+        steps_per_dispatch=a.steps_per_dispatch,
     )
     metrics = run_task(cfg)
     print(
         f"\nRESULT: eval AUC = {metrics['auc']:.4f}  "
-        f"(Bayes-optimal ceiling of the planted model: {bayes_auc:.4f})  "
+        f"(Bayes-optimal ceiling of the planted model: {bayes_auc:.4f}, "
+        f"{100.0 * metrics['auc'] / bayes_auc:.1f}% of ceiling)  "
         f"steps = {metrics['step']}  wall = {metrics['wall_time']:.0f}s"
     )
     return metrics

@@ -121,6 +121,59 @@ def run(a) -> dict:
     results["best_auc"] = best
     results["best_pct_of_ceiling"] = round(100.0 * best / ceiling, 2)
     results["pass_99pct"] = bool(best >= 0.99 * ceiling)
+
+    # streaming-AUC (tf.metrics.auc 200-threshold semantics, what the
+    # harness reports) vs exact Mann-Whitney AUC agreement on the last
+    # trained model — the metric-fidelity leg of the protocol
+    try:
+        import jax
+        import numpy as np_
+
+        from tf_repos_tpu.data.libsvm import LibsvmDataset, glob_input_files
+        from tf_repos_tpu.ops.metrics import exact_auc
+        from tf_repos_tpu.train.harness import Harness
+
+        last = runs[-1]
+        cfg = Config(
+            model=last["model"], feature_size=feature_size, field_size=39,
+            embedding_size=a.embedding_size, deep_layers=a.deep_layers,
+            dropout=a.dropout, batch_size=4096, optimizer="Adam",
+            data_dir=out, model_dir=os.path.join(
+                work, f"model_s{last['batch']}_{last['lr']}"
+                if len(runs) > 1 else "model_ref_deepfm"
+            ),
+            dt_dir="p", cross_layers=3,
+        )
+        h = Harness(cfg)
+        from tf_repos_tpu.train.checkpoint import CheckpointManager
+
+        ck = CheckpointManager(h.model_dir)
+        ts = h.restore_or_init(ck)
+        ck.close()
+        from tf_repos_tpu.train.loop import build_predict_step
+
+        pstep = build_predict_step(h.model)
+        files = glob_input_files(out, "va*libsvm", shuffle=False, seed=0)
+        preds, labels = [], []
+        for batch in LibsvmDataset(files, field_size=39, batch_size=4096):
+            p = np_.asarray(
+                pstep(ts["params"], ts["mstate"], batch)["prob"]
+            )
+            m = batch["mask"] > 0
+            preds.append(p[m])
+            labels.append(np_.asarray(batch["label"])[m])
+        pr = np_.concatenate(preds)
+        lb = np_.concatenate(labels)
+        ex = float(exact_auc(jax.numpy.asarray(lb), jax.numpy.asarray(pr)))
+        results["exact_auc_last_run"] = round(ex, 5)
+        results["streaming_auc_last_run"] = last["auc"]
+        results["streaming_vs_exact_delta"] = round(abs(ex - last["auc"]), 5)
+        print(
+            f"[metric] streaming={last['auc']:.4f} exact={ex:.4f} "
+            f"delta={abs(ex - last['auc']):.5f}"
+        )
+    except Exception as e:  # non-fatal leg
+        results["metric_agreement_error"] = str(e)
     return results
 
 
