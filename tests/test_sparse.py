@@ -308,3 +308,27 @@ def test_param_dtype_requires_sparse_mode(tmp_path):
     cfg = _cfg().replace(param_dtype="bfloat16", sparse_table_update=False)
     with pytest.raises(ValueError, match="sparse_table_update"):
         Harness(cfg)
+
+
+def test_sparse_steps_per_dispatch_matches_single(tmp_path):
+    """Sparse path + lax.scan step batching == per-step sparse dispatch."""
+    from tf_repos_tpu.data.synthetic import write_synthetic_libsvm
+    from tf_repos_tpu.train.harness import run_task
+
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_libsvm(str(data / "tr.libsvm"), 200, feature_size=500, seed=0)
+    write_synthetic_libsvm(str(data / "va.libsvm"), 100, feature_size=500, seed=1)
+    base = dict(
+        model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
+        deep_layers="8,4", dropout="1.0,1.0", batch_size=32, num_epochs=2,
+        log_steps=5, learning_rate=0.01, data_dir=str(data), dt_dir="x",
+        eval_throttle_secs=0, seed=7, sparse_table_update=True,
+    )
+    m1 = run_task(Config(**base, model_dir=str(tmp_path / "m1")))
+    m4 = run_task(
+        Config(**base, model_dir=str(tmp_path / "m4"), steps_per_dispatch=4)
+    )
+    assert m1["step"] == m4["step"]
+    assert abs(m1["auc"] - m4["auc"]) < 1e-5
+    assert abs(m1["loss"] - m4["loss"]) < 1e-5

@@ -278,16 +278,20 @@ class Harness:
         train_step = self._get_train_step()
         # K steps per dispatch (host-loop amortization; see config)
         K = cfg.steps_per_dispatch
-        if K > 1 and (self.mesh is not None or self._sparse_slots is not None):
-            print("WARNING: steps_per_dispatch>1 is single-chip dense-path only")
+        if K > 1 and self.mesh is not None:
+            print("WARNING: steps_per_dispatch>1 is single-chip only")
             K = 1
-        multi_step = (
-            L.build_multi_train_step(
+        multi_step = None
+        if K > 1 and self._sparse_slots is not None:
+            from tf_repos_tpu.train.sparse import build_sparse_multi_train_step
+
+            multi_step = build_sparse_multi_train_step(
+                self.model, self.tx, self._sparse_opt(), K
+            )
+        elif K > 1:
+            multi_step = L.build_multi_train_step(
                 self.model, self.tx, K, lookup=self._field_block_lookup()
             )
-            if K > 1
-            else None
-        )
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
         if cfg.check_numerics:

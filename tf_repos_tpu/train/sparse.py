@@ -213,6 +213,36 @@ def init_opt_state(
     }
 
 
+def _sparse_step_body(model, tx_dense, sopt, slot_names, params, opt_state, mstate, batch, rng):
+    rng, sr_key = jax.random.split(rng)
+    tables, rest = split_params(params, slot_names)
+    u = {t: batch[UIDS_PREFIX + t] for t in slot_names}
+    # f32 row math regardless of table storage dtype (bf16 tables
+    # halve the gather bytes; the upcast fuses into the gather)
+    rows = {t: take_rows_f32(tables[t], u[t]) for t in slot_names}
+
+    def loss_fn(rows, rest):
+        p = dict(rest)
+        p.update(rows)  # the model sees a small [S,K] "table"
+        return model.loss(p, mstate, batch, train=True, rng=rng)
+
+    (loss, (_, new_mstate)), (g_rows, g_rest) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(rows, rest)
+
+    upd, new_dense = tx_dense.update(g_rest, opt_state["dense"], rest)
+    new_rest = optax.apply_updates(rest, upd)
+
+    new_params = dict(new_rest)
+    new_sparse = {}
+    for i, t in enumerate(slot_names):
+        new_params[t], new_sparse[t] = sopt.apply(
+            opt_state["sparse"][t], tables[t], u[t], g_rows[t],
+            jax.random.fold_in(sr_key, i),
+        )
+    return new_params, {"dense": new_dense, "sparse": new_sparse}, new_mstate, loss
+
+
 def build_sparse_train_step(
     model, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt
 ):
@@ -223,35 +253,37 @@ def build_sparse_train_step(
     slot_names = list(model.sparse_slots().keys())
 
     def step(params, opt_state, mstate, batch, rng):
-        rng, sr_key = jax.random.split(rng)
-        tables, rest = split_params(params, slot_names)
-        u = {t: batch[UIDS_PREFIX + t] for t in slot_names}
-        # f32 row math regardless of table storage dtype (bf16 tables
-        # halve the gather bytes; the upcast fuses into the gather)
-        rows = {t: take_rows_f32(tables[t], u[t]) for t in slot_names}
-
-        def loss_fn(rows, rest):
-            p = dict(rest)
-            p.update(rows)  # the model sees a small [S,K] "table"
-            return model.loss(p, mstate, batch, train=True, rng=rng)
-
-        (loss, (_, new_mstate)), (g_rows, g_rest) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(rows, rest)
-
-        upd, new_dense = tx_dense.update(g_rest, opt_state["dense"], rest)
-        new_rest = optax.apply_updates(rest, upd)
-
-        new_params = dict(new_rest)
-        new_sparse = {}
-        for i, t in enumerate(slot_names):
-            new_params[t], new_sparse[t] = sopt.apply(
-                opt_state["sparse"][t], tables[t], u[t], g_rows[t],
-                jax.random.fold_in(sr_key, i),
-            )
-        return new_params, {"dense": new_dense, "sparse": new_sparse}, new_mstate, loss
+        return _sparse_step_body(
+            model, tx_dense, sopt, slot_names, params, opt_state, mstate, batch, rng
+        )
 
     return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def build_sparse_multi_train_step(
+    model, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt, k: int
+):
+    """K sparse steps per dispatch via lax.scan (host-loop amortization,
+    see loop.build_multi_train_step). stacked_batch fields (incl. the
+    __uids_* arrays) carry a leading [K] axis."""
+    slot_names = list(model.sparse_slots().keys())
+
+    def one(carry, xs):
+        params, opt_state, mstate = carry
+        batch, sub = xs
+        p, o, m, loss = _sparse_step_body(
+            model, tx_dense, sopt, slot_names, params, opt_state, mstate, batch, sub
+        )
+        return (p, o, m), loss
+
+    def multi(params, opt_state, mstate, stacked_batch, rng):
+        subs = jax.random.split(rng, k)
+        (params, opt_state, mstate), losses = jax.lax.scan(
+            one, (params, opt_state, mstate), (stacked_batch, subs)
+        )
+        return params, opt_state, mstate, losses
+
+    return jax.jit(multi, donate_argnums=(0, 1, 2))
 
 
 def cast_tables(model, params, dtype) -> Dict[str, Any]:
