@@ -203,7 +203,8 @@ def test_mapper_preserves_lookup_and_zero_position():
     mb = mapper(b)
     table_name = next(iter(model.sparse_slots()))
     u = mb[SP.UIDS_PREFIX + table_name]
-    assert u.shape[0] == orig_ids.size + 1
+    # static pad: total ids + 1 (forced zero), capped at the vocab
+    assert u.shape[0] == min(orig_ids.size + 1, cfg.feature_size)
     assert u[0] == 0  # forced zero row
     table = np.asarray(
         jax.random.normal(jax.random.PRNGKey(0), (cfg.feature_size, 3))
