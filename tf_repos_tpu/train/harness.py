@@ -281,6 +281,11 @@ class Harness:
         if K > 1 and self.mesh is not None:
             print("WARNING: steps_per_dispatch>1 is single-chip only")
             K = 1
+        if K > 1 and cfg.profile_steps:
+            print(
+                "WARNING: --profile_steps requires steps_per_dispatch=1 "
+                "(the trace window brackets individual dispatches)"
+            )
         multi_step = None
         if K > 1 and self._sparse_slots is not None:
             from tf_repos_tpu.train.sparse import build_sparse_multi_train_step
