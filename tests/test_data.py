@@ -219,6 +219,32 @@ def test_native_parser_malformed_tokens_resync(tmp_path):
     np.testing.assert_allclose(vals, [[0.5, 1.0], [1.0, 2.0], [0.01, 2000.0]], rtol=1e-6)
 
 
+def test_native_parser_huge_exponent_no_stall():
+    """A malformed giant exponent ("1e2000000000") must neither overflow the
+    exponent accumulator (signed-int UB) nor spin the scaling loop for
+    billions of iterations — it saturates to inf/0 promptly (ADVICE r1)."""
+    from tf_repos_tpu.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    import time
+
+    lines = [
+        b"1 1:1e2000000000 2:0.5",   # saturates to +inf
+        b"0 3:1e-2000000000 4:2.0",  # saturates to 0
+        b"1 5:2e30 6:1.0",           # large but valid (within float32): exact
+    ]
+    t0 = time.time()
+    ids, vals, labels = native.parse_libsvm_lines(lines, 2)
+    assert time.time() - t0 < 2.0  # would be ~minutes if the loop spun
+    np.testing.assert_array_equal(ids, [[1, 2], [3, 4], [5, 6]])
+    assert np.isinf(vals[0, 0]) and vals[0, 1] == 0.5
+    assert vals[1, 0] == 0.0 and vals[1, 1] == 2.0
+    np.testing.assert_allclose(vals[2], [2e30, 1.0], rtol=1e-6)
+
+
 def test_native_aliccp_scinote_and_extra_colons():
     """aliccp C++ parser: e-notation vals parse like Python float();
     tokens with >3 colon-parts are dropped (ragged.py rule)."""

@@ -30,7 +30,13 @@ inline const char* parse_f(const char* p, const char* end, float* out) {
     bool eneg = false;
     if (p < end && (*p == '-' || *p == '+')) { eneg = (*p == '-'); ++p; }
     int ex = 0;
-    while (p < end && *p >= '0' && *p <= '9') { ex = ex * 10 + (*p - '0'); ++p; }
+    // Clamped: 60 saturates float32; unbounded ex is UB + a multi-billion
+    // iteration stall on a malformed exponent (e.g. "1e2000000000").
+    while (p < end && *p >= '0' && *p <= '9') {
+      if (ex < 60) ex = ex * 10 + (*p - '0');
+      ++p;
+    }
+    if (ex > 60) ex = 60;
     double f = 1.0;
     for (int i = 0; i < ex; ++i) f *= 10.0;
     v = eneg ? v / f : v * f;

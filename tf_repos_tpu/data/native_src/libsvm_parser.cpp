@@ -55,9 +55,13 @@ inline const char* parse_float(const char* p, const char* end, float* out) {
     }
     int ex = 0;
     while (p < end && *p >= '0' && *p <= '9') {
-      ex = ex * 10 + (*p - '0');
+      // Clamp: a malformed token like 1:1e2000000000 must not overflow the
+      // accumulator (signed UB) or spin the scaling loop for billions of
+      // iterations. 60 already saturates float32 either direction.
+      if (ex < 60) ex = ex * 10 + (*p - '0');
       ++p;
     }
+    if (ex > 60) ex = 60;
     double f = 1.0;
     for (int i = 0; i < ex; ++i) f *= 10.0;
     v = eneg ? v / f : v * f;
