@@ -86,15 +86,19 @@ def bench(model_name: str, vocab: int, batch_size: int, pad: int, n_steps: int =
     out["mapper_host_ms_per_batch"] = float(
         (time.perf_counter() - th0) / len(raw) * 1e3
     )
-    sopt = SP.make_sparse_row_optimizer(cfg.optimizer, cfg.learning_rate)
-    params, mstate = model.init(jax.random.PRNGKey(0))
-    opt_state = SP.init_opt_state(model, tx, sopt, params)
-    sstep = SP.build_sparse_train_step(model, tx, sopt)
     dev = [jax.tree.map(jnp.asarray, b) for b in mapped]
-    t = run(sstep, params, opt_state, mstate, dev)
-    out["sparse_ms_med"] = float(np.median(t))
-    out["sparse_ms_min"] = float(t.min())
-    out["sparse_ms_max"] = float(t.max())
+    for tag, fused in (("sparse", False), ("sparse_fused", True)):
+        sopt = SP.make_sparse_row_optimizer(
+            cfg.optimizer, cfg.learning_rate, fused_moments=fused
+        )
+        params, mstate = model.init(jax.random.PRNGKey(0))
+        opt_state = SP.init_opt_state(model, tx, sopt, params)
+        sstep = SP.build_sparse_train_step(model, tx, sopt)
+        t = run(sstep, params, opt_state, mstate, dev)
+        out[f"{tag}_ms_med"] = float(np.median(t))
+        out[f"{tag}_ms_min"] = float(t.min())
+        out[f"{tag}_ms_max"] = float(t.max())
+        del params, opt_state
     out["speedup_med"] = out["dense_ms_med"] / out["sparse_ms_med"]
     out["examples_per_sec_sparse"] = batch_size / (out["sparse_ms_med"] / 1e3)
     return out

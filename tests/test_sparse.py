@@ -51,12 +51,14 @@ def _batches(cfg, n, seed0=0):
     return out
 
 
-def _run_sparse(cfg, batches, steps_rng=100):
+def _run_sparse(cfg, batches, steps_rng=100, fused=False):
     model = create_model(cfg)
     from tf_repos_tpu.train.optimizers import make_optimizer
 
     tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
-    sopt = SP.make_sparse_row_optimizer(cfg.optimizer, cfg.learning_rate)
+    sopt = SP.make_sparse_row_optimizer(
+        cfg.optimizer, cfg.learning_rate, fused_moments=fused
+    )
     params, mstate = model.init(jax.random.PRNGKey(cfg.seed))
     opt_state = SP.init_opt_state(model, tx, sopt, params)
     step = SP.build_sparse_train_step(model, tx, sopt)
@@ -103,6 +105,25 @@ def test_sparse_matches_dense_fixed_point_optimizers(opt):
     flat_d = jax.tree.leaves(p_dense)
     for a, b in zip(flat_s, flat_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("opt", ["Adam", "ftrl"])
+def test_fused_moments_matches_unfused(opt):
+    """fused_moments ([V,2K] m|v resp. n|z storage) is a pure layout
+    change: the training trajectory must match the unfused sparse path
+    to float tolerance (same math, different memory layout)."""
+    cfg = _cfg(optimizer=opt, learning_rate=0.01)
+    batches = _batches(cfg, 4)
+    _, p_fused, s_fused, l_fused = _run_sparse(cfg, batches, fused=True)
+    _, p_unf, s_unf, l_unf = _run_sparse(cfg, batches, fused=False)
+    np.testing.assert_allclose(l_fused, l_unf, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_fused), jax.tree.leaves(p_unf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7)
+    # and the fused state really is fused: one [V,2K] array per table
+    for t, aux in s_fused["sparse"].items():
+        key = "mv" if opt == "Adam" else "nz"
+        assert aux[key].shape[-1] == 2 * p_fused[t].shape[-1]
+        assert "m" not in aux and "n" not in aux
 
 
 @pytest.mark.parametrize("opt", ["Adam", "Adagrad", "ftrl", "GD", "Momentum"])

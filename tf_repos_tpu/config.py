@@ -116,6 +116,12 @@ class Config:
     # backward never materializes a dense [V,K] cotangent. Single-chip
     # path; recommended at vocab >~ 1M.
     sparse_table_update: bool = False
+    # store two-slot optimizer moments (Adam m/v, FTRL n/z) fused in one
+    # [V,2K] array: one moment gather + one scatter per step instead of
+    # two of each. Row access at big vocab is HBM-transaction-BOUND (not
+    # byte-bound) on TPU, so halving the op count wins. Changes the
+    # opt-state layout — checkpoints don't interchange with unfused runs.
+    fused_moments: bool = False
     # padded length for multi-hot (ragged) fields; the reference carries these
     # as VarLen sparse tensors (DIN.py:65-76) — on TPU they become fixed-shape
     # padded arrays with id==0 masking (DIN.py:157 mask convention).

@@ -118,7 +118,10 @@ class Harness:
     def _sparse_opt(self):
         from tf_repos_tpu.train.sparse import make_sparse_row_optimizer
 
-        return make_sparse_row_optimizer(self.cfg.optimizer, self.cfg.learning_rate)
+        return make_sparse_row_optimizer(
+            self.cfg.optimizer, self.cfg.learning_rate,
+            fused_moments=self.cfg.fused_moments,
+        )
 
     def restore_or_init(self, ckpt: CheckpointManager):
         ts = self.init_train_state()

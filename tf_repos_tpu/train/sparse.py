@@ -85,13 +85,53 @@ class SparseRowOpt(NamedTuple):
     ]
 
 
-def make_sparse_row_optimizer(name: str, learning_rate: float) -> SparseRowOpt:
+def make_sparse_row_optimizer(
+    name: str, learning_rate: float, fused_moments: bool = False
+) -> SparseRowOpt:
     """Same hyperparameters as train/optimizers.make_optimizer (the
-    reference's exact settings, DeepFM.py:204-211), applied lazily."""
+    reference's exact settings, DeepFM.py:204-211), applied lazily.
+
+    fused_moments: for two-slot optimizers (Adam m/v, FTRL n/z) store the
+    moments row-interleaved in one [V, 2K] array so each step does ONE
+    moment gather + ONE moment scatter instead of two of each. Row access
+    at big vocab is HBM-transaction-bound (K=128 gather measured only 22%
+    slower than K=16 on v5e), so halving the op count beats halving the
+    width. State layout changes ([V,2K] "mv"/"nz" key) — checkpoints are
+    not interchangeable with the unfused layout."""
     key = name.lower()
     lr = learning_rate
     if key == "adam":
         b1, b2, eps = 0.9, 0.999, 1e-8
+
+        if fused_moments:
+
+            def init(table):
+                K = table.shape[-1]
+                return {
+                    "mv": jnp.zeros(table.shape[:-1] + (2 * K,), table.dtype),
+                    "t": jnp.zeros((), jnp.int32),
+                }
+
+            def apply(aux, table, u, g, key):
+                kw, kmv = jax.random.split(key)
+                t = aux["t"] + 1
+                tf32 = t.astype(jnp.float32)
+                K = table.shape[-1]
+                mv_u = take_rows_f32(aux["mv"], u)
+                m_u = b1 * mv_u[..., :K] + (1.0 - b1) * g
+                v_u = b2 * mv_u[..., K:] + (1.0 - b2) * jnp.square(g)
+                m_hat = m_u / (1.0 - jnp.power(b1, tf32))
+                v_hat = v_u / (1.0 - jnp.power(b2, tf32))
+                w_u = take_rows_f32(table, u) - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+                mv_new = jnp.concatenate([m_u, v_u], axis=-1)
+                return put_rows(table, u, maybe_round(w_u, kw, table.dtype)), {
+                    "mv": put_rows(
+                        aux["mv"], u, maybe_round(mv_new, kmv, aux["mv"].dtype)
+                    ),
+                    "t": t,
+                }
+
+            return SparseRowOpt(init, apply)
 
         def init(table):
             return {
@@ -141,6 +181,32 @@ def make_sparse_row_optimizer(name: str, learning_rate: float) -> SparseRowOpt:
         # TF FtrlOptimizer defaults (lr_power=-0.5, init_accum=0.1,
         # l1=l2=0) — the wide/sparse-part optimizer (DeepFM.py:210-211)
         p, init_acc = -0.5, 0.1
+
+        if fused_moments:
+
+            def init(table):
+                K = table.shape[-1]
+                nz = jnp.zeros(table.shape[:-1] + (2 * K,), table.dtype)
+                return {"nz": nz.at[..., :K].set(init_acc)}
+
+            def apply(aux, table, u, g, key):
+                kw, knz = jax.random.split(key)
+                K = table.shape[-1]
+                nz_u = take_rows_f32(aux["nz"], u)
+                n0 = jnp.maximum(nz_u[..., :K], init_acc * 1e-3)
+                z0 = nz_u[..., K:]
+                w = take_rows_f32(table, u)
+                n1 = n0 + jnp.square(g)
+                z1 = z0 + g - ((jnp.power(n1, -p) - jnp.power(n0, -p)) / lr) * w
+                w_new = -z1 / (jnp.power(n1, -p) / lr)
+                nz_new = jnp.concatenate([n1, z1], axis=-1)
+                return put_rows(table, u, maybe_round(w_new, kw, table.dtype)), {
+                    "nz": put_rows(
+                        aux["nz"], u, maybe_round(nz_new, knz, aux["nz"].dtype)
+                    )
+                }
+
+            return SparseRowOpt(init, apply)
 
         def init(table):
             return {
@@ -302,5 +368,3 @@ def upcast_tables_f32(model, params) -> Dict[str, Any]:
         if out[t].dtype != jnp.float32:
             out[t] = out[t].astype(jnp.float32)
     return out
-
-    return jax.jit(step, donate_argnums=(0, 1, 2))
