@@ -19,7 +19,25 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench(model_name: str, vocab: int, batch_size: int, pad: int, n_steps: int = 30):
+def zipfify_ids(batches, vocab: int, a: float = 1.2, seed: int = 0):
+    """Rewrite the id fields with a Zipf(a) draw, id = popularity rank —
+    matching the real pipelines (the preprocessors emit frequency-sorted
+    ids: features/criteo.py, features/aliccp.py remap stage), where hot
+    rows are low and ADJACENT. Uniform ids are the lazy path's worst
+    case: almost no batch-level duplication, so dedup buys nothing."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    for b in batches:
+        for k, arr in b.items():
+            if k.endswith("ids") or k == "feat_ids":
+                z = np.minimum(rng.zipf(a, size=arr.shape), vocab - 1)
+                b[k] = np.where(arr > 0, z.astype(np.int32), 0)
+    return batches
+
+
+def bench(model_name: str, vocab: int, batch_size: int, pad: int, n_steps: int = 30,
+          id_dist: str = "uniform"):
     import jax
     import jax.numpy as jnp
 
@@ -48,10 +66,14 @@ def bench(model_name: str, vocab: int, batch_size: int, pad: int, n_steps: int =
         ]
     else:
         raw = [synthetic_criteo_batch(rng, batch_size, vocab) for _ in range(4)]
+    if id_dist == "zipf":
+        raw = zipfify_ids(raw, vocab)
 
     def run(step, params, opt_state, mstate, batches):
         key = jax.random.PRNGKey(1)
-        for i in range(3):
+        # warm up every batch: pow2-bucketed uids can differ in shape
+        # across batches, and each shape is its own compile
+        for i in range(len(batches)):
             params, opt_state, mstate, loss = step(
                 params, opt_state, mstate, batches[i % 4], key
             )
@@ -86,6 +108,15 @@ def bench(model_name: str, vocab: int, batch_size: int, pad: int, n_steps: int =
     out["mapper_host_ms_per_batch"] = float(
         (time.perf_counter() - th0) / len(raw) * 1e3
     )
+    # dedup ratio: id slots per batch vs unique rows actually touched
+    from tf_repos_tpu.train.sparse import UIDS_PREFIX
+    for name, slot in model.sparse_slots().items():
+        uids = mapped[0][UIDS_PREFIX + name]
+        uniq = int((uids < slot.vocab).sum())
+        out[f"uniq_rows_{name}"] = uniq
+        out[f"s_pad_{name}"] = len(uids)
+        nslots = sum(int(np.asarray(mapped[0][f]).size) for f in slot.fields)
+        out[f"dedup_ratio_{name}"] = round(nslots / max(uniq, 1), 2)
     dev = [jax.tree.map(jnp.asarray, b) for b in mapped]
     for tag, fused in (("sparse", False), ("sparse_fused", True)):
         sopt = SP.make_sparse_row_optimizer(
@@ -110,10 +141,17 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        res = bench("ESMM", vocab=50_000, batch_size=256, pad=8, n_steps=10)
+        for dist in ("uniform", "zipf"):
+            res = bench("ESMM", vocab=50_000, batch_size=256, pad=8, n_steps=10,
+                        id_dist=dist)
+            print(json.dumps({"bench": f"esmm_sparse_vs_dense_{dist}",
+                              **{k: round(v, 3) for k, v in res.items()}}))
     else:
-        res = bench("ESMM", vocab=4_500_000, batch_size=4096, pad=16)
-    print(json.dumps({"bench": "esmm_sparse_vs_dense", **{k: round(v, 3) for k, v in res.items()}}))
+        for dist in ("zipf", "uniform"):
+            res = bench("ESMM", vocab=4_500_000, batch_size=4096, pad=16,
+                        id_dist=dist)
+            print(json.dumps({"bench": f"esmm_sparse_vs_dense_{dist}",
+                              **{k: round(v, 3) for k, v in res.items()}}), flush=True)
 
 
 if __name__ == "__main__":

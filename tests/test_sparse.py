@@ -324,6 +324,132 @@ def test_bf16_sparse_training_tracks_f32():
     assert float(np.max(np.abs(t16 - t32))) < 0.05
 
 
+def test_pow2_pad_mode_matches_max():
+    """uids bucket sizing is invisible to the math: pow2 (tight, grows
+    monotonically) and max (static worst case) give identical
+    trajectories; pow2's buckets are powers of two and never shrink."""
+    cfg = _cfg(optimizer="Adam", learning_rate=0.01, l2_reg=1e-4)
+    model = create_model(cfg)
+    batches = _batches(cfg, 4)
+
+    traj = {}
+    for mode in ("pow2", "max"):
+        mapper = SparseBatchMapper(model.sparse_slots(), pad_mode=mode)
+        mapped = [mapper(dict(b)) for b in batches]
+        if mode == "pow2":
+            sizes = [
+                m[SP.UIDS_PREFIX + next(iter(model.sparse_slots()))].shape[0]
+                for m in mapped
+            ]
+            assert all(s & (s - 1) == 0 or s == cfg.feature_size for s in sizes)
+            assert sizes == sorted(sizes)  # monotonic growth
+        from tf_repos_tpu.train.optimizers import make_optimizer
+
+        tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+        sopt = SP.make_sparse_row_optimizer("Adam", 0.01)
+        params, mstate = model.init(jax.random.PRNGKey(7))
+        o = SP.init_opt_state(model, tx, sopt, params)
+        step = SP.build_sparse_train_step(model, tx, sopt)
+        losses = []
+        for i, b in enumerate(mapped):
+            params, o, mstate, loss = step(params, o, mstate, b, jax.random.PRNGKey(9 + i))
+            losses.append(float(loss))
+        traj[mode] = (losses, params)
+
+    np.testing.assert_allclose(traj["pow2"][0], traj["max"][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(traj["pow2"][1]), jax.tree.leaves(traj["max"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
+
+
+def test_stack_batches_pads_grown_uids():
+    """stack_batches pads shorter __uids_* arrays in a K-group with the
+    table's sentinel so scan-batched dispatch survives mid-group bucket
+    growth."""
+    from tf_repos_tpu.train import loop as LP
+
+    a = {"__uids_emb": np.array([0, 3, 7], np.int32), "x": np.zeros((2,))}
+    b = {"__uids_emb": np.array([0, 1, 2, 5, 9], np.int32), "x": np.ones((2,))}
+    out = LP.stack_batches([a, b], {"__uids_emb": 11})
+    np.testing.assert_array_equal(
+        out["__uids_emb"], [[0, 3, 7, 11, 11], [0, 1, 2, 5, 9]]
+    )
+    assert out["x"].shape == (2, 2)
+
+
+@pytest.mark.parametrize("mesh_shape,fused", [((4, 2), False), ((2, 4), True)])
+def test_sharded_sparse_matches_single_chip(mesh_shape, fused):
+    """Mesh-sharded lazy updates (parallel/sparse_step.py) == the
+    single-chip sparse trajectory to float tolerance, across mesh shapes
+    and the fused-moment layout. The vocab here does NOT divide the model
+    axis, so the padding path is exercised too."""
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.parallel.sparse_step import (
+        ShardedSparseState,
+        build_sharded_sparse_train_step,
+    )
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    cfg = _cfg(optimizer="Adam", learning_rate=0.01, l2_reg=1e-4, feature_size=301)
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    batches = _batches(cfg, 3)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    mapped = [mapper(dict(b)) for b in batches]
+
+    sopt1 = SP.make_sparse_row_optimizer("Adam", 0.01, fused_moments=fused)
+    params, mstate = model.init(jax.random.PRNGKey(7))
+    o1 = SP.init_opt_state(model, tx, sopt1, params)
+    step1 = SP.build_sparse_train_step(model, tx, sopt1)
+    p1, m1, l1 = params, mstate, []
+    for i, b in enumerate(mapped):
+        p1, o1, m1, loss = step1(p1, o1, m1, b, jax.random.PRNGKey(100 + i))
+        l1.append(float(loss))
+
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    sopt2 = SP.make_sparse_row_optimizer(
+        "Adam", 0.01, fused_moments=fused, sorted_indices=False
+    )
+    st = ShardedSparseState(model, tx, sopt2, mesh)
+    state, specs = st.init(jax.random.PRNGKey(7))
+    step2 = build_sharded_sparse_train_step(model, tx, sopt2, mesh, specs)
+    l2 = []
+    for i, b in enumerate(mapped):
+        state, loss = step2(state, st.place_batch(b), jax.random.PRNGKey(100 + i))
+        l2.append(float(loss))
+
+    np.testing.assert_allclose(l1, l2, rtol=2e-5)
+    for t in model.sparse_slots():
+        a = np.asarray(p1[t])
+        b = np.asarray(state["params"][t])[: a.shape[0]]
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
+        # padding rows must stay exactly zero (never touched)
+        pad = np.asarray(state["params"][t])[a.shape[0]:]
+        assert pad.size == 0 or float(np.max(np.abs(pad))) == 0.0
+
+
+def test_sharded_sparse_harness_end_to_end(tmp_path):
+    """Full lifecycle through the harness with mesh + sparse_table_update
+    + bf16 storage: train, periodic checkpoint, eval all run sharded."""
+    from tf_repos_tpu.data.synthetic import write_synthetic_libsvm
+    from tf_repos_tpu.train.harness import run_task
+
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_libsvm(str(data / "tr.libsvm"), 256, feature_size=500, seed=0)
+    write_synthetic_libsvm(str(data / "va.libsvm"), 128, feature_size=500, seed=1)
+    m = run_task(
+        Config(
+            model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
+            deep_layers="8,4", dropout="1.0,1.0", batch_size=32, num_epochs=1,
+            log_steps=4, learning_rate=0.01, data_dir=str(data), dt_dir="x",
+            eval_throttle_secs=0, seed=7, sparse_table_update=True,
+            param_dtype="bfloat16", mesh_data=4, mesh_model=2,
+            model_dir=str(tmp_path / "m"),
+        )
+    )
+    assert np.isfinite(m["loss"]) and 0.0 <= m["auc"] <= 1.0
+
+
 def test_param_dtype_requires_sparse_mode(tmp_path):
     from tf_repos_tpu.train.harness import Harness
 

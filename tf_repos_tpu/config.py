@@ -122,6 +122,13 @@ class Config:
     # byte-bound) on TPU, so halving the op count wins. Changes the
     # opt-state layout — checkpoints don't interchange with unfused runs.
     fused_moments: bool = False
+    # uids padding policy for the sparse mapper (data/sparse_batch.py):
+    # "pow2" sizes the device working set to the ACTUAL unique-row count
+    # (power-of-2 buckets, monotonic growth — a handful of recompiles);
+    # "max" pads to the static worst case (one compile ever). Measured on
+    # v5e: device row-op cost scales with the PADDED length, so "max" at
+    # high dedup ratios wastes most of the lazy path's win.
+    sparse_pad_mode: str = "pow2"
     # padded length for multi-hot (ragged) fields; the reference carries these
     # as VarLen sparse tensors (DIN.py:65-76) — on TPU they become fixed-shape
     # padded arrays with id==0 masking (DIN.py:157 mask convention).

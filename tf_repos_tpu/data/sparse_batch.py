@@ -31,10 +31,36 @@ from tf_repos_tpu.train.sparse import UIDS_PREFIX
 
 
 class SparseBatchMapper:
-    def __init__(self, slots: Dict[str, "SparseSlot"]):
+    """pad_mode:
+      "pow2" (default): S_pad = the smallest power of two holding the
+        batch's ACTUAL unique count, growing monotonically across batches.
+        Measured on v5e (ESMM 4.5M, B=4096): the device-side row-op cost
+        is driven by the STATIC uids length, not the live row count —
+        sentinel rows are not free — so worst-case padding (385k slots)
+        made the lazy path 2x slower than dense even when only 20k rows
+        were really touched. Monotonic growth bounds recompiles to
+        log2(S) bucket jumps for the whole run.
+      "max": static worst case (total id slots + 1) — one compile ever;
+        use when recompilation is costlier than the wasted transactions
+        (tiny runs, CI)."""
+
+    def __init__(self, slots: Dict[str, "SparseSlot"], pad_mode: str = "pow2"):
+        if pad_mode not in ("pow2", "max"):
+            raise ValueError(f"pad_mode {pad_mode!r} not in ('pow2', 'max')")
         self.slots = slots
+        self.pad_mode = pad_mode
         self._seen: Dict[str, np.ndarray] = {}
         self._remap: Dict[str, np.ndarray] = {}
+        self._bucket: Dict[str, int] = {}
+
+    def _s_pad(self, name: str, vocab: int, total_slots: int, uniq: int) -> int:
+        if self.pad_mode == "max":
+            return min(total_slots + 1, vocab)
+        bucket = max(self._bucket.get(name, 0), 1 << max(uniq - 1, 1).bit_length())
+        bucket = min(bucket, vocab)
+        bucket = max(bucket, uniq)  # vocab-capped bucket must still fit
+        self._bucket[name] = bucket
+        return bucket
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         batch = dict(batch)
@@ -48,9 +74,6 @@ class SparseBatchMapper:
             seen.fill(False)
 
             fields = [np.asarray(batch[f]) for f in slot.fields]
-            # +1: id 0 is force-marked below, worst case on top of N
-            # distinct nonzero ids; and never more than the vocab itself
-            s_pad = min(sum(int(a.size) for a in fields) + 1, vocab)
             ids = np.concatenate([a.ravel() for a in fields])
             # id 0 (the reserved padding row) is always in the unique set;
             # u is ascending, so 0 keeps position 0 and the models'
@@ -60,6 +83,8 @@ class SparseBatchMapper:
             u = np.flatnonzero(seen)  # ascending unique, int64
             remap[u] = np.arange(u.size, dtype=np.int32)
 
+            total_slots = sum(int(a.size) for a in fields) + 1
+            s_pad = self._s_pad(name, vocab, total_slots, int(u.size))
             uids = np.full(s_pad, vocab, np.int32)
             uids[: u.size] = u
             batch[UIDS_PREFIX + name] = uids

@@ -44,17 +44,14 @@ class Harness:
         self.mesh = self._make_mesh()
         self._sharded = None
         self._specs = None
-        if self.mesh is not None:
-            from tf_repos_tpu.parallel.step import ShardedState
-
-            self._sharded = ShardedState(self.model, self.tx, self.mesh)
         self._train_step = None
         self._eval_step = None
         self._predict_step = None
-        # lazy touched-rows table updates (train/sparse.py): single-chip
-        # path, only for models that declare sparse slots
+        # lazy touched-rows table updates (train/sparse.py single-chip;
+        # parallel/sparse_step.py under a mesh), only for models that
+        # declare sparse slots
         self._sparse_slots = None
-        if cfg.sparse_table_update and self.mesh is None:
+        if cfg.sparse_table_update:
             slots = self.model.sparse_slots()
             if slots:
                 self._sparse_slots = slots
@@ -63,6 +60,14 @@ class Harness:
                     f"WARNING: --sparse_table_update: {self.model.name} "
                     "declares no sparse tables; using the dense path"
                 )
+        if self._sparse_slots is not None and jax.process_count() > 1:
+            raise ValueError(
+                "--sparse_table_update needs the GLOBAL batch's unique-id "
+                "set; under multi-host jax.distributed each host sees only "
+                "its local examples, so the replicated-uids formulation "
+                "(parallel/sparse_step.py) cannot be built. Use the dense "
+                "sharded path for multi-host runs."
+            )
         if cfg.static_fields and self._sparse_slots is not None:
             raise ValueError(
                 "--static_fields and --sparse_table_update are mutually "
@@ -80,6 +85,18 @@ class Harness:
                     "which lives in the lazy sparse-update path)"
                 )
             self._table_dtype = jnp.bfloat16
+        if self.mesh is not None:
+            if self._sparse_slots is not None:
+                from tf_repos_tpu.parallel.sparse_step import ShardedSparseState
+
+                self._sharded = ShardedSparseState(
+                    self.model, self.tx, self._sparse_opt(), self.mesh,
+                    table_dtype=self._table_dtype,
+                )
+            else:
+                from tf_repos_tpu.parallel.step import ShardedState
+
+                self._sharded = ShardedState(self.model, self.tx, self.mesh)
 
     def _make_mesh(self):
         """Mesh-sharded execution when >1 device is visible or the user
@@ -118,9 +135,12 @@ class Harness:
     def _sparse_opt(self):
         from tf_repos_tpu.train.sparse import make_sparse_row_optimizer
 
+        # the sharded path maps out-of-shard uids to unsorted OOB slots,
+        # so it cannot claim the ascending-index contract
         return make_sparse_row_optimizer(
             self.cfg.optimizer, self.cfg.learning_rate,
             fused_moments=self.cfg.fused_moments,
+            sorted_indices=self.mesh is None,
         )
 
     def restore_or_init(self, ckpt: CheckpointManager):
@@ -160,7 +180,15 @@ class Harness:
         (state_dict, loss)."""
         if self._train_step is not None:
             return self._train_step
-        if self.mesh is not None:
+        if self.mesh is not None and self._sparse_slots is not None:
+            from tf_repos_tpu.parallel.sparse_step import (
+                build_sharded_sparse_train_step,
+            )
+
+            self._train_step = build_sharded_sparse_train_step(
+                self.model, self.tx, self._sparse_opt(), self.mesh, self._specs
+            )
+        elif self.mesh is not None:
             from tf_repos_tpu.parallel.step import build_sharded_train_step
 
             self._train_step = build_sharded_train_step(
@@ -258,7 +286,9 @@ class Harness:
             # prefetch thread (train/sparse.py step consumes __uids_*)
             from tf_repos_tpu.data.sparse_batch import SparseBatchMapper, mapped_batches
 
-            ds = mapped_batches(ds, SparseBatchMapper(self._sparse_slots))
+            ds = mapped_batches(
+                ds, SparseBatchMapper(self._sparse_slots, pad_mode=cfg.sparse_pad_mode)
+            )
         it: Iterable = Prefetcher(ds, size=cfg.prefetch_batches)
         if jax.process_count() > 1:
             # every host must dispatch the same number of collective steps
@@ -326,9 +356,17 @@ class Harness:
             K-group, per-batch single steps for the tail."""
             if multi_step is not None and len(batches) == K:
                 rng, sub = jax.random.split(rng)
+                sentinels = None
+                if self._sparse_slots is not None:
+                    from tf_repos_tpu.train.sparse import UIDS_PREFIX
+
+                    sentinels = {
+                        UIDS_PREFIX + t: s.vocab
+                        for t, s in self._sparse_slots.items()
+                    }
                 p, o, m, lossk = multi_step(
                     state["params"], state["opt_state"], state["mstate"],
-                    L.stack_batches(batches), sub,
+                    L.stack_batches(batches, sentinels), sub,
                 )
                 return {"params": p, "opt_state": o, "mstate": m}, rng, lossk
             outs = []

@@ -9,7 +9,7 @@ tf_repos_tpu/parallel/step.py. All steps are pure functions compiled once
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,12 +79,31 @@ def build_multi_train_step(
     return jax.jit(multi, donate_argnums=(0, 1, 2))
 
 
-def stack_batches(batches) -> Dict[str, Any]:
-    """[{k: [B,...]}] * K -> {k: [K,B,...]} (one transfer per field)."""
+def stack_batches(batches, uid_sentinels: Optional[Dict[str, int]] = None) -> Dict[str, Any]:
+    """[{k: [B,...]}] * K -> {k: [K,B,...]} (one transfer per field).
+
+    uid_sentinels: {"__uids_<table>": vocab} — __uids_* arrays may differ
+    in length within a group when the sparse mapper's pow2 bucket grew
+    mid-group (data/sparse_batch.py); shorter ones are padded to the
+    group max with the table's sentinel (vocab = strictly out of range,
+    so the padding rows are dropped by the device-side scatter exactly
+    like the mapper's own sentinels)."""
     import numpy as np
 
-    keys = batches[0].keys()
-    return {k: np.stack([b[k] for b in batches]) for k in keys}
+    sentinels = uid_sentinels or {}
+    out = {}
+    for k in batches[0].keys():
+        arrs = [b[k] for b in batches]
+        if k in sentinels:
+            m = max(a.shape[0] for a in arrs)
+            arrs = [
+                np.concatenate([a, np.full(m - a.shape[0], sentinels[k], a.dtype)])
+                if a.shape[0] < m
+                else a
+                for a in arrs
+            ]
+        out[k] = np.stack(arrs)
+    return out
 
 
 def build_eval_step(model: CtrModel):

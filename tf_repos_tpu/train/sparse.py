@@ -72,6 +72,24 @@ def put_rows(a: jax.Array, u: jax.Array, rows: jax.Array) -> jax.Array:
     )
 
 
+def take_rows_unsorted_f32(a: jax.Array, u: jax.Array) -> jax.Array:
+    """take_rows_f32 without the ascending claim — the sharded path maps
+    out-of-shard ids to distinct OOB positions (V_local + slot index),
+    which breaks monotonicity but keeps uniqueness. OOB must be POSITIVE:
+    negative indices WRAP under mode="fill"/"drop" (measured), they are
+    not treated as out-of-bounds."""
+    return a.at[u].get(
+        mode="fill", fill_value=0, unique_indices=True, indices_are_sorted=False
+    ).astype(jnp.float32)
+
+
+def put_rows_unsorted(a: jax.Array, u: jax.Array, rows: jax.Array) -> jax.Array:
+    """put_rows without the ascending claim (see take_rows_unsorted_f32)."""
+    return a.at[u].set(
+        rows, mode="drop", unique_indices=True, indices_are_sorted=False
+    )
+
+
 class SparseRowOpt(NamedTuple):
     """A lazy row-wise optimizer for one [V, ...] table. Row math is f32
     regardless of storage dtype; writes back in the table's/moments'
@@ -86,7 +104,10 @@ class SparseRowOpt(NamedTuple):
 
 
 def make_sparse_row_optimizer(
-    name: str, learning_rate: float, fused_moments: bool = False
+    name: str,
+    learning_rate: float,
+    fused_moments: bool = False,
+    sorted_indices: bool = True,
 ) -> SparseRowOpt:
     """Same hyperparameters as train/optimizers.make_optimizer (the
     reference's exact settings, DeepFM.py:204-211), applied lazily.
@@ -98,6 +119,8 @@ def make_sparse_row_optimizer(
     slower than K=16 on v5e), so halving the op count beats halving the
     width. State layout changes ([V,2K] "mv"/"nz" key) — checkpoints are
     not interchangeable with the unfused layout."""
+    gather = take_rows_f32 if sorted_indices else take_rows_unsorted_f32
+    put = put_rows if sorted_indices else put_rows_unsorted
     key = name.lower()
     lr = learning_rate
     if key == "adam":
@@ -117,15 +140,15 @@ def make_sparse_row_optimizer(
                 t = aux["t"] + 1
                 tf32 = t.astype(jnp.float32)
                 K = table.shape[-1]
-                mv_u = take_rows_f32(aux["mv"], u)
+                mv_u = gather(aux["mv"], u)
                 m_u = b1 * mv_u[..., :K] + (1.0 - b1) * g
                 v_u = b2 * mv_u[..., K:] + (1.0 - b2) * jnp.square(g)
                 m_hat = m_u / (1.0 - jnp.power(b1, tf32))
                 v_hat = v_u / (1.0 - jnp.power(b2, tf32))
-                w_u = take_rows_f32(table, u) - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+                w_u = gather(table, u) - lr * m_hat / (jnp.sqrt(v_hat) + eps)
                 mv_new = jnp.concatenate([m_u, v_u], axis=-1)
-                return put_rows(table, u, maybe_round(w_u, kw, table.dtype)), {
-                    "mv": put_rows(
+                return put(table, u, maybe_round(w_u, kw, table.dtype)), {
+                    "mv": put(
                         aux["mv"], u, maybe_round(mv_new, kmv, aux["mv"].dtype)
                     ),
                     "t": t,
@@ -144,14 +167,14 @@ def make_sparse_row_optimizer(
             kw, km, kv = jax.random.split(key, 3)
             t = aux["t"] + 1
             tf32 = t.astype(jnp.float32)
-            m_u = b1 * take_rows_f32(aux["m"], u) + (1.0 - b1) * g
-            v_u = b2 * take_rows_f32(aux["v"], u) + (1.0 - b2) * jnp.square(g)
+            m_u = b1 * gather(aux["m"], u) + (1.0 - b1) * g
+            v_u = b2 * gather(aux["v"], u) + (1.0 - b2) * jnp.square(g)
             m_hat = m_u / (1.0 - jnp.power(b1, tf32))
             v_hat = v_u / (1.0 - jnp.power(b2, tf32))
-            w_u = take_rows_f32(table, u) - lr * m_hat / (jnp.sqrt(v_hat) + eps)
-            return put_rows(table, u, maybe_round(w_u, kw, table.dtype)), {
-                "m": put_rows(aux["m"], u, maybe_round(m_u, km, aux["m"].dtype)),
-                "v": put_rows(aux["v"], u, maybe_round(v_u, kv, aux["v"].dtype)),
+            w_u = gather(table, u) - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+            return put(table, u, maybe_round(w_u, kw, table.dtype)), {
+                "m": put(aux["m"], u, maybe_round(m_u, km, aux["m"].dtype)),
+                "v": put(aux["v"], u, maybe_round(v_u, kv, aux["v"].dtype)),
                 "t": t,
             }
 
@@ -165,14 +188,14 @@ def make_sparse_row_optimizer(
 
         def apply(aux, table, u, g, key):
             kw, ka = jax.random.split(key)
-            a_u = take_rows_f32(aux["a"], u) + jnp.square(g)
+            a_u = gather(aux["a"], u) + jnp.square(g)
             # sentinel rows gather a=0 -> rsqrt(0)=inf, times g=0 -> NaN;
             # they are dropped at scatter but NaN would poison nothing —
             # still, keep the math finite:
             step = lr * g * jax.lax.rsqrt(jnp.maximum(a_u, init_acc * 1e-3))
-            w_u = take_rows_f32(table, u) - step
-            return put_rows(table, u, maybe_round(w_u, kw, table.dtype)), {
-                "a": put_rows(aux["a"], u, maybe_round(a_u, ka, aux["a"].dtype))
+            w_u = gather(table, u) - step
+            return put(table, u, maybe_round(w_u, kw, table.dtype)), {
+                "a": put(aux["a"], u, maybe_round(a_u, ka, aux["a"].dtype))
             }
 
         return SparseRowOpt(init, apply)
@@ -192,16 +215,16 @@ def make_sparse_row_optimizer(
             def apply(aux, table, u, g, key):
                 kw, knz = jax.random.split(key)
                 K = table.shape[-1]
-                nz_u = take_rows_f32(aux["nz"], u)
+                nz_u = gather(aux["nz"], u)
                 n0 = jnp.maximum(nz_u[..., :K], init_acc * 1e-3)
                 z0 = nz_u[..., K:]
-                w = take_rows_f32(table, u)
+                w = gather(table, u)
                 n1 = n0 + jnp.square(g)
                 z1 = z0 + g - ((jnp.power(n1, -p) - jnp.power(n0, -p)) / lr) * w
                 w_new = -z1 / (jnp.power(n1, -p) / lr)
                 nz_new = jnp.concatenate([n1, z1], axis=-1)
-                return put_rows(table, u, maybe_round(w_new, kw, table.dtype)), {
-                    "nz": put_rows(
+                return put(table, u, maybe_round(w_new, kw, table.dtype)), {
+                    "nz": put(
                         aux["nz"], u, maybe_round(nz_new, knz, aux["nz"].dtype)
                     )
                 }
@@ -216,16 +239,16 @@ def make_sparse_row_optimizer(
 
         def apply(aux, table, u, g, key):
             kw, kn, kz = jax.random.split(key, 3)
-            n0 = take_rows_f32(aux["n"], u)
+            n0 = gather(aux["n"], u)
             n0 = jnp.maximum(n0, init_acc * 1e-3)  # sentinel rows: finite
-            w = take_rows_f32(table, u)
-            z0 = take_rows_f32(aux["z"], u)
+            w = gather(table, u)
+            z0 = gather(aux["z"], u)
             n1 = n0 + jnp.square(g)
             z1 = z0 + g - ((jnp.power(n1, -p) - jnp.power(n0, -p)) / lr) * w
             w_new = -z1 / (jnp.power(n1, -p) / lr)
-            return put_rows(table, u, maybe_round(w_new, kw, table.dtype)), {
-                "n": put_rows(aux["n"], u, maybe_round(n1, kn, aux["n"].dtype)),
-                "z": put_rows(aux["z"], u, maybe_round(z1, kz, aux["z"].dtype)),
+            return put(table, u, maybe_round(w_new, kw, table.dtype)), {
+                "n": put(aux["n"], u, maybe_round(n1, kn, aux["n"].dtype)),
+                "z": put(aux["z"], u, maybe_round(z1, kz, aux["z"].dtype)),
             }
 
         return SparseRowOpt(init, apply)
@@ -236,8 +259,8 @@ def make_sparse_row_optimizer(
             return {}
 
         def apply(aux, table, u, g, key):
-            w_u = take_rows_f32(table, u) - lr * g
-            return put_rows(table, u, maybe_round(w_u, key, table.dtype)), aux
+            w_u = gather(table, u) - lr * g
+            return put(table, u, maybe_round(w_u, key, table.dtype)), aux
 
         return SparseRowOpt(init, apply)
 
@@ -249,10 +272,10 @@ def make_sparse_row_optimizer(
 
         def apply(aux, table, u, g, key):
             kw, kmo = jax.random.split(key)
-            mo_u = mom * take_rows_f32(aux["mo"], u) + g
-            w_u = take_rows_f32(table, u) - lr * mo_u
-            return put_rows(table, u, maybe_round(w_u, kw, table.dtype)), {
-                "mo": put_rows(aux["mo"], u, maybe_round(mo_u, kmo, aux["mo"].dtype))
+            mo_u = mom * gather(aux["mo"], u) + g
+            w_u = gather(table, u) - lr * mo_u
+            return put(table, u, maybe_round(w_u, kw, table.dtype)), {
+                "mo": put(aux["mo"], u, maybe_round(mo_u, kmo, aux["mo"].dtype))
             }
 
         return SparseRowOpt(init, apply)
