@@ -217,14 +217,14 @@ def test_mapper_preserves_lookup_and_zero_position():
     so `ids > 0` multi-hot masking survives the remap."""
     cfg = _cfg()
     model = create_model(cfg)
-    mapper = SparseBatchMapper(model.sparse_slots())
+    mapper = SparseBatchMapper(model.sparse_slots(), pad_mode="max")
     rng = np.random.default_rng(0)
     b = synthetic_criteo_batch(rng, 8, cfg.feature_size)
     orig_ids = np.asarray(b["feat_ids"]).copy()
     mb = mapper(b)
     table_name = next(iter(model.sparse_slots()))
     u = mb[SP.UIDS_PREFIX + table_name]
-    # static pad: total ids + 1 (forced zero), capped at the vocab
+    # "max" pad: total ids + 1 (forced zero), capped at the vocab
     assert u.shape[0] == min(orig_ids.size + 1, cfg.feature_size)
     assert u[0] == 0  # forced zero row
     table = np.asarray(
