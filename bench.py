@@ -89,6 +89,9 @@ def _inner() -> None:
         # gather/scatter row count by 13/39 (15.5 -> 12.6 ms/step
         # measured; trajectory-exact — see tests/test_models.py)
         static_fields=13,
+        # bf16 MXU towers with f32 params: 12.6 -> 10.2 ms/step measured,
+        # AUC delta 0.0000 on the 2-epoch Criteo-surrogate parity cell
+        compute_dtype="bfloat16",
     )
     model = create_model(cfg)
     tx = make_optimizer(cfg.optimizer, cfg.learning_rate)

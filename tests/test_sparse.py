@@ -450,6 +450,33 @@ def test_sharded_sparse_harness_end_to_end(tmp_path):
     assert np.isfinite(m["loss"]) and 0.0 <= m["auc"] <= 1.0
 
 
+@pytest.mark.parametrize("sparse", [False, True])
+def test_mesh_steps_per_dispatch_matches_single(tmp_path, sparse):
+    """Scan-batched sharded dispatch (dense and sparse mesh paths) ==
+    per-step sharded dispatch: same final step/auc/loss."""
+    from tf_repos_tpu.data.synthetic import write_synthetic_libsvm
+    from tf_repos_tpu.train.harness import run_task
+
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_libsvm(str(data / "tr.libsvm"), 256, feature_size=500, seed=0)
+    write_synthetic_libsvm(str(data / "va.libsvm"), 100, feature_size=500, seed=1)
+    base = dict(
+        model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
+        deep_layers="8,4", dropout="1.0,1.0", batch_size=32, num_epochs=2,
+        log_steps=5, learning_rate=0.01, data_dir=str(data), dt_dir="x",
+        eval_throttle_secs=0, seed=7, mesh_data=4, mesh_model=2,
+        sparse_table_update=sparse,
+    )
+    m1 = run_task(Config(**base, model_dir=str(tmp_path / "m1")))
+    m4 = run_task(
+        Config(**base, model_dir=str(tmp_path / "m4"), steps_per_dispatch=4)
+    )
+    assert m1["step"] == m4["step"]
+    assert abs(m1["auc"] - m4["auc"]) < 1e-5
+    assert abs(m1["loss"] - m4["loss"]) < 1e-5
+
+
 def test_param_dtype_requires_sparse_mode(tmp_path):
     from tf_repos_tpu.train.harness import Harness
 

@@ -146,6 +146,30 @@ def build_sharded_sparse_train_step(
     """(state, batch, rng) -> (state, loss). Batches must come through
     data/sparse_batch.SparseBatchMapper (global uids + remapped ids)."""
     pspec, ospec, mspec = specs["params"], specs["opt_state"], specs["mstate"]
+    step = _make_sparse_step_body(model, tx_dense, sopt)
+
+    def wrapped(state, batch, rng):
+        bspec = sparse_batch_spec(batch)
+        sharded = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(pspec, ospec, mspec, bspec, P()),
+            out_specs=(pspec, ospec, mspec, P()),
+            check_vma=True,
+        )
+        p, o, m, loss = sharded(
+            state["params"], state["opt_state"], state["mstate"], batch, rng
+        )
+        return {"params": p, "opt_state": o, "mstate": m}, loss
+
+    return jax.jit(wrapped, donate_argnums=(0,))
+
+
+def _make_sparse_step_body(
+    model: CtrModel, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt
+):
+    """Per-device sharded-sparse step body (shared by the single-dispatch
+    and scan-batched builders); must run inside shard_map."""
     slots = model.sparse_slots()
     slot_names = list(slots.keys())
     lookup = make_sharded_lookup(MODEL_AXIS)
@@ -219,18 +243,57 @@ def build_sharded_sparse_train_step(
             jax.lax.psum(local_loss, DATA_AXIS) + l2_val
         )
 
-    def wrapped(state, batch, rng):
-        bspec = sparse_batch_spec(batch)
+    return step
+
+
+def stacked_sparse_batch_spec(batch: Dict[str, Any]) -> Dict[str, P]:
+    """Spec for a [K, B, ...] stacked mapped batch: scan axis unsharded,
+    batch axis over "data", __uids_* ([K, S]) fully replicated."""
+    from tf_repos_tpu.parallel.step import stacked_batch_spec
+
+    spec = stacked_batch_spec(batch)
+    for k in batch:
+        if k.startswith(UIDS_PREFIX):
+            spec[k] = P()
+    return spec
+
+
+def build_sharded_sparse_multi_train_step(
+    model: CtrModel,
+    tx_dense: optax.GradientTransformation,
+    sopt: SparseRowOpt,
+    mesh,
+    specs: Dict[str, Any],
+    k: int,
+):
+    """K sharded sparse steps per dispatch (lax.scan inside shard_map) —
+    same contract as train/sparse.build_sparse_multi_train_step."""
+    pspec, ospec, mspec = specs["params"], specs["opt_state"], specs["mstate"]
+    step = _make_sparse_step_body(model, tx_dense, sopt)
+
+    def multi(params, opt_state, mstate, stacked, rng):
+        subs = jax.random.split(rng, k)
+
+        def one(carry, xs):
+            p, o, m = carry
+            batch, sub = xs
+            p, o, m, loss = step(p, o, m, batch, sub)
+            return (p, o, m), loss
+
+        (params, opt_state, mstate), losses = jax.lax.scan(
+            one, (params, opt_state, mstate), (stacked, subs)
+        )
+        return params, opt_state, mstate, losses
+
+    def wrapped(params, opt_state, mstate, stacked, rng):
+        bspec = stacked_sparse_batch_spec(stacked)
         sharded = shard_map(
-            step,
+            multi,
             mesh=mesh,
             in_specs=(pspec, ospec, mspec, bspec, P()),
             out_specs=(pspec, ospec, mspec, P()),
             check_vma=True,
         )
-        p, o, m, loss = sharded(
-            state["params"], state["opt_state"], state["mstate"], batch, rng
-        )
-        return {"params": p, "opt_state": o, "mstate": m}, loss
+        return sharded(params, opt_state, mstate, stacked, rng)
 
-    return jax.jit(wrapped, donate_argnums=(0,))
+    return jax.jit(wrapped, donate_argnums=(0, 1, 2))

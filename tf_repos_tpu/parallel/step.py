@@ -226,11 +226,10 @@ def _split_l2(model: CtrModel, pspec: Any):
     return l2
 
 
-def build_sharded_train_step(
-    model: CtrModel, tx: optax.GradientTransformation, mesh: Mesh, specs: Dict[str, Any]
-):
-    """(state, batch, rng) -> (state, loss). Compiled once; donated state."""
-    pspec, ospec, mspec = specs["params"], specs["opt_state"], specs["mstate"]
+def _make_sharded_step_body(model: CtrModel, tx: optax.GradientTransformation, pspec):
+    """The per-device train-step body shared by the single-dispatch and
+    scan-batched (steps_per_dispatch) sharded builders. Must run inside
+    shard_map."""
     lookup = make_sharded_lookup(MODEL_AXIS)
     l2_fn = _split_l2(model, pspec)
 
@@ -263,6 +262,16 @@ def build_sharded_train_step(
         loss = jax.lax.psum(local_loss, DATA_AXIS) + l2_val
         return new_params, new_opt_state, new_mstate, loss
 
+    return step
+
+
+def build_sharded_train_step(
+    model: CtrModel, tx: optax.GradientTransformation, mesh: Mesh, specs: Dict[str, Any]
+):
+    """(state, batch, rng) -> (state, loss). Compiled once; donated state."""
+    pspec, ospec, mspec = specs["params"], specs["opt_state"], specs["mstate"]
+    step = _make_sharded_step_body(model, tx, pspec)
+
     def wrapped(state, batch, rng):
         bspec = batch_spec(batch)
         sharded = shard_map(
@@ -278,6 +287,58 @@ def build_sharded_train_step(
         return {"params": p, "opt_state": o, "mstate": m}, loss
 
     return jax.jit(wrapped, donate_argnums=(0,))
+
+
+def stacked_batch_spec(batch: Dict[str, Any]) -> Dict[str, P]:
+    """Spec for a [K, B, ...] stacked batch: scan axis unsharded, batch
+    axis over "data"."""
+    return jax.tree.map(
+        lambda x: P(None, DATA_AXIS, *([None] * (np.ndim(x) - 2))), batch
+    )
+
+
+def build_sharded_multi_train_step(
+    model: CtrModel,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    specs: Dict[str, Any],
+    k: int,
+):
+    """K sharded steps per dispatch: lax.scan over the step body INSIDE
+    shard_map (collectives inside a scan are fine; one dispatch pays the
+    host-loop/control-plane fixed cost once for K steps — the mesh analog
+    of train/loop.build_multi_train_step). Signature matches the
+    single-chip multi step: (params, opt_state, mstate, stacked_batch,
+    rng) -> (params, opt_state, mstate, losses[K])."""
+    pspec, ospec, mspec = specs["params"], specs["opt_state"], specs["mstate"]
+    step = _make_sharded_step_body(model, tx, pspec)
+
+    def multi(params, opt_state, mstate, stacked, rng):
+        subs = jax.random.split(rng, k)
+
+        def one(carry, xs):
+            p, o, m = carry
+            batch, sub = xs
+            p, o, m, loss = step(p, o, m, batch, sub)
+            return (p, o, m), loss
+
+        (params, opt_state, mstate), losses = jax.lax.scan(
+            one, (params, opt_state, mstate), (stacked, subs)
+        )
+        return params, opt_state, mstate, losses
+
+    def wrapped(params, opt_state, mstate, stacked, rng):
+        bspec = stacked_batch_spec(stacked)
+        sharded = shard_map(
+            multi,
+            mesh=mesh,
+            in_specs=(pspec, ospec, mspec, bspec, P()),
+            out_specs=(pspec, ospec, mspec, P()),
+            check_vma=True,
+        )
+        return sharded(params, opt_state, mstate, stacked, rng)
+
+    return jax.jit(wrapped, donate_argnums=(0, 1, 2))
 
 
 def model_per_example_loss(model: CtrModel, out, batch):

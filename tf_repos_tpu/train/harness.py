@@ -311,8 +311,10 @@ class Harness:
         train_step = self._get_train_step()
         # K steps per dispatch (host-loop amortization; see config)
         K = cfg.steps_per_dispatch
-        if K > 1 and self.mesh is not None:
-            print("WARNING: steps_per_dispatch>1 is single-chip only")
+        if K > 1 and jax.process_count() > 1:
+            # multi-host stacked-batch placement (per-host slices of a
+            # [K,B] global batch) isn't wired; collectives stay per-step
+            print("WARNING: steps_per_dispatch>1 is single-process only")
             K = 1
         if K > 1 and cfg.profile_steps:
             print(
@@ -320,7 +322,21 @@ class Harness:
                 "(the trace window brackets individual dispatches)"
             )
         multi_step = None
-        if K > 1 and self._sparse_slots is not None:
+        if K > 1 and self.mesh is not None and self._sparse_slots is not None:
+            from tf_repos_tpu.parallel.sparse_step import (
+                build_sharded_sparse_multi_train_step,
+            )
+
+            multi_step = build_sharded_sparse_multi_train_step(
+                self.model, self.tx, self._sparse_opt(), self.mesh, self._specs, K
+            )
+        elif K > 1 and self.mesh is not None:
+            from tf_repos_tpu.parallel.step import build_sharded_multi_train_step
+
+            multi_step = build_sharded_multi_train_step(
+                self.model, self.tx, self.mesh, self._specs, K
+            )
+        elif K > 1 and self._sparse_slots is not None:
             from tf_repos_tpu.train.sparse import build_sparse_multi_train_step
 
             multi_step = build_sparse_multi_train_step(
