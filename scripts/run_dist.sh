@@ -33,7 +33,7 @@ for ((i = 0; i < NPROC; i++)); do
       --feature_size="$FEATURE_SIZE" --field_size=39 --embedding_size=16 \
       --deep_layers=256,128,64 --dropout=0.8,0.8,0.8 --num_epochs=1 \
       --batch_size=128 --log_steps=10 --eval_throttle_secs=0 \
-      --mesh_model=2 &
+      --mesh_model=2 "$@" &
   pids+=($!)
   sleep 2
 done

@@ -68,6 +68,7 @@ HARNESS_WORKER = textwrap.dedent(
     import jax
     jax.config.update("jax_platforms", "cpu")
     hosts, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    sparse = len(sys.argv) > 4 and sys.argv[4] == "1"
 
     from tf_repos_tpu.config import Config
     from tf_repos_tpu.train.harness import run_task
@@ -79,7 +80,7 @@ HARNESS_WORKER = textwrap.dedent(
         data_dir=os.path.join(workdir, "data"),
         model_dir=os.path.join(workdir, "model"), dt_dir="dist",
         dist_mode=2, worker_hosts=hosts, job_name="worker", task_index=pid,
-        mesh_model=2,
+        mesh_model=2, sparse_table_update=sparse,
         # mid-train periodic eval: the decision clock is consulted every
         # 2 steps and host 0's verdict is broadcast (-1 = fire at every
         # boundary, clock-free determinism for the test)
@@ -87,6 +88,52 @@ HARNESS_WORKER = textwrap.dedent(
     )
     metrics = run_task(cfg)
     print("DONE", metrics["step"])
+    """
+)
+
+
+SPARSE_WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+
+    import numpy as np
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.sparse_batch import GlobalUidsUnion, SparseBatchMapper
+    from tf_repos_tpu.data.synthetic import synthetic_criteo_batch
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.parallel.sparse_step import ShardedSparseState, build_sharded_sparse_train_step
+    from tf_repos_tpu.train.optimizers import make_optimizer
+    from tf_repos_tpu.train.sparse import make_sparse_row_optimizer
+
+    cfg = Config(model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
+                 deep_layers="8,4", dropout="1.0,1.0", batch_size=32,
+                 optimizer="Adam", learning_rate=0.05, l2_reg=0.001)
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    mesh = make_mesh(data=2, model=2)
+    sopt = make_sparse_row_optimizer("Adam", 0.05, sorted_indices=False)
+    ss = ShardedSparseState(model, tx, sopt, mesh)
+    state, specs = ss.init(jax.random.PRNGKey(cfg.seed))
+    train = build_sharded_sparse_train_step(model, tx, sopt, mesh, specs)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    union = GlobalUidsUnion(model.sparse_slots())
+
+    losses = []
+    for i in range(3):
+        full = synthetic_criteo_batch(np.random.default_rng(i), cfg.batch_size, cfg.feature_size)
+        lo = pid * (cfg.batch_size // 2); hi = lo + cfg.batch_size // 2
+        local = {k: v[lo:hi] for k, v in full.items()}
+        placed = ss.place_batch(union(mapper(local)))
+        state, loss = train(state, placed, jax.random.PRNGKey(100 + i))
+        losses.append(float(loss))
+    print("LOSSES", json.dumps(losses))
     """
 )
 
@@ -154,11 +201,14 @@ def test_two_process_training_matches_single(tmp_path):
     np.testing.assert_allclose(ref, losses[0], rtol=1e-5)
 
 
-def test_two_process_midtrain_eval_no_deadlock(tmp_path):
+@pytest.mark.parametrize("sparse", ["0", "1"])
+def test_two_process_midtrain_eval_no_deadlock(tmp_path, sparse):
     """Periodic eval fires MID-TRAIN under multi-process without deadlock:
     the throttle decision is taken at step boundaries and host 0's verdict
     is broadcast, so both hosts enter the collective eval program at the
-    same step (VERDICT r1 item 5)."""
+    same step (VERDICT r1 item 5). sparse=1 additionally routes every
+    train batch through the GlobalUidsUnion host collective in _place —
+    its ordering must interleave safely with the step/eval collectives."""
     from tf_repos_tpu.data.synthetic import write_synthetic_libsvm
 
     data_dir = tmp_path / "data"
@@ -178,7 +228,7 @@ def test_two_process_midtrain_eval_no_deadlock(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), hosts, str(pid), str(tmp_path)],
+            [sys.executable, str(script), hosts, str(pid), str(tmp_path), sparse],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
         for pid in range(2)
@@ -190,3 +240,64 @@ def test_two_process_midtrain_eval_no_deadlock(tmp_path):
         # >= 2: at least one mid-train eval plus the final one
         assert len(evals) >= 2, f"worker {pid}: no mid-train eval fired:\n{out[-2000:]}"
         assert any(l.startswith("DONE") for l in out.splitlines())
+
+
+def test_two_process_sparse_matches_single(tmp_path):
+    """Multi-host sharded-SPARSE training: per-host local dedup + cross-
+    host uid union (GlobalUidsUnion) must reproduce the single-process
+    sharded-sparse trajectory on the same global batches."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "sworker.py"
+    script.write_text(SPARSE_WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    losses = []
+    for p in procs:
+        out, err = p.communicate(timeout=500)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("LOSSES")][0]
+        losses.append(json.loads(line[len("LOSSES "):]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+    # single-process reference: same mesh topology, global batch through
+    # one mapper (no union needed)
+    import jax
+
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.sparse_batch import SparseBatchMapper
+    from tf_repos_tpu.data.synthetic import synthetic_criteo_batch
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.parallel.sparse_step import (
+        ShardedSparseState,
+        build_sharded_sparse_train_step,
+    )
+    from tf_repos_tpu.train.optimizers import make_optimizer
+    from tf_repos_tpu.train.sparse import make_sparse_row_optimizer
+
+    cfg = Config(model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
+                 deep_layers="8,4", dropout="1.0,1.0", batch_size=32,
+                 optimizer="Adam", learning_rate=0.05, l2_reg=0.001)
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sopt = make_sparse_row_optimizer("Adam", 0.05, sorted_indices=False)
+    ss = ShardedSparseState(model, tx, sopt, mesh)
+    state, specs = ss.init(jax.random.PRNGKey(cfg.seed))
+    train = build_sharded_sparse_train_step(model, tx, sopt, mesh, specs)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    ref = []
+    for i in range(3):
+        batch = synthetic_criteo_batch(np.random.default_rng(i), cfg.batch_size, cfg.feature_size)
+        state, loss = train(state, ss.place_batch(mapper(batch)), jax.random.PRNGKey(100 + i))
+        ref.append(float(loss))
+    np.testing.assert_allclose(ref, losses[0], rtol=1e-5)

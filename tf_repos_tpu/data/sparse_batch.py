@@ -96,3 +96,67 @@ class SparseBatchMapper:
 def mapped_batches(it: Iterable, mapper: SparseBatchMapper) -> Iterator:
     for b in it:
         yield mapper(b)
+
+
+class GlobalUidsUnion:
+    """Multi-host uid union: turn per-host local unique-id sets into the
+    GLOBAL set the sharded sparse step replicates (parallel/sparse_step.py).
+
+    Each host's loader dedups only its local batch slice; this exchanges
+    the local sets (two process_allgathers per table: max count, then the
+    sentinel-padded arrays), unions them with the same O(V+N) flag array
+    as the mapper, and re-remaps the already-remapped id fields from
+    local positions to global positions (g is ascending, so a
+    searchsorted over the local real uids gives the translation).
+
+    MUST be called from the main training-loop thread in the same batch
+    order on every host — it issues collectives, and a prefetch thread
+    would interleave them with the train step's psums (deadlock). The
+    pow2 bucket is a deterministic function of the (identical) global
+    unique count plus monotonic growth from identical history, so every
+    host compiles identical shapes."""
+
+    def __init__(self, slots: Dict[str, "SparseSlot"]):
+        self.slots = slots
+        self._bucket: Dict[str, int] = {}
+        self._seen: Dict[str, np.ndarray] = {}
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        from jax.experimental import multihost_utils
+
+        batch = dict(batch)
+        for name, slot in self.slots.items():
+            key = UIDS_PREFIX + name
+            local = np.asarray(batch[key])
+            counts = np.asarray(
+                multihost_utils.process_allgather(np.int32(local.shape[0]))
+            )
+            m = int(counts.max())
+            padded = np.full(m, slot.vocab, np.int32)
+            padded[: local.shape[0]] = local
+            all_u = np.asarray(multihost_utils.process_allgather(padded)).ravel()
+
+            seen = self._seen.get(name)
+            if seen is None:
+                seen = self._seen.setdefault(name, np.zeros(slot.vocab, np.bool_))
+            seen.fill(False)
+            seen[all_u[all_u < slot.vocab]] = True
+            g = np.flatnonzero(seen).astype(np.int32)
+
+            bucket = max(
+                self._bucket.get(name, 0), 1 << max(int(g.size) - 1, 1).bit_length()
+            )
+            bucket = min(bucket, slot.vocab)
+            bucket = max(bucket, int(g.size))
+            self._bucket[name] = bucket
+
+            guids = np.full(bucket, slot.vocab, np.int32)
+            guids[: g.size] = g
+            # local position -> global position (both ascending uid lists)
+            n_real = int((local < slot.vocab).sum())
+            lp2gp = np.zeros(max(local.shape[0], 1), np.int32)
+            lp2gp[:n_real] = np.searchsorted(g, local[:n_real]).astype(np.int32)
+            for f in slot.fields:
+                batch[f] = np.take(lp2gp, batch[f], mode="clip")
+            batch[key] = guids
+        return batch

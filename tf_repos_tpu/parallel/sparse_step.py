@@ -34,10 +34,12 @@ differentiated separately from the data loss with no collectives; see
 parallel/step.py's gradient-layout proof for why the split is load-
 bearing).
 
-Scope: single-process multi-chip (one process driving a mesh). Under
-multi-host jax.distributed each host sees only its local examples, so a
-host cannot build the GLOBAL unique-id set this formulation replicates;
-harness raises with this explanation rather than training wrong.
+Multi-host: each host's loader dedups only its local batch slice, so the
+harness unions the local sets across hosts first
+(data/sparse_batch.GlobalUidsUnion — two host allgathers per table,
+issued from the main loop thread so collective order matches the train
+step's psums on every host), then places the identical global uids
+replicated and the id fields as per-host slices.
 """
 
 from __future__ import annotations
@@ -91,6 +93,16 @@ class ShardedSparseState(ShardedState):
 
     def place_batch(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
         sh = make_shardings(self.mesh, sparse_batch_spec(batch))
+        if jax.process_count() > 1:
+            # data-sharded fields: per-host slices; __uids_* replicated —
+            # identical on every host after GlobalUidsUnion
+            import numpy as np
+
+            return jax.tree.map(
+                lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+                dict(batch),
+                sh,
+            )
         return jax.device_put(batch, sh)
 
     def init(self, rng: jax.Array):

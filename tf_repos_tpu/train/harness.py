@@ -60,14 +60,15 @@ class Harness:
                     f"WARNING: --sparse_table_update: {self.model.name} "
                     "declares no sparse tables; using the dense path"
                 )
+        # multi-host sparse: the sharded sparse step replicates the GLOBAL
+        # unique-id set, but each host's loader dedups only its local batch
+        # slice -> union the sets across hosts (collectives, so it must run
+        # in the main loop thread: see _place)
+        self._uids_union = None
         if self._sparse_slots is not None and jax.process_count() > 1:
-            raise ValueError(
-                "--sparse_table_update needs the GLOBAL batch's unique-id "
-                "set; under multi-host jax.distributed each host sees only "
-                "its local examples, so the replicated-uids formulation "
-                "(parallel/sparse_step.py) cannot be built. Use the dense "
-                "sharded path for multi-host runs."
-            )
+            from tf_repos_tpu.data.sparse_batch import GlobalUidsUnion
+
+            self._uids_union = GlobalUidsUnion(self._sparse_slots)
         if cfg.static_fields and self._sparse_slots is not None:
             raise ValueError(
                 "--static_fields and --sparse_table_update are mutually "
@@ -153,6 +154,11 @@ class Harness:
 
     # --------------------------------------------------------- step builders
     def _place(self, batch):
+        if self._uids_union is not None and any(
+            k.startswith("__uids_") for k in batch
+        ):
+            # main-thread host collective: local uid sets -> global set
+            batch = self._uids_union(batch)
         if self._sharded is not None:
             return self._sharded.place_batch(batch)
         return batch
