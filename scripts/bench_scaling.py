@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--feature_size", type=int, default=117_581)
     p.add_argument("--mesh_model", type=int, default=1, help="model-axis size (table sharding)")
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--sparse", action="store_true",
+                   help="bench the sharded-SPARSE step (lazy touched-rows "
+                        "updates, parallel/sparse_step.py) instead of dense")
     a = p.parse_args(argv)
 
     from tf_repos_tpu.config import Config
@@ -66,12 +69,27 @@ def main(argv=None):
         model = create_model(cfg)
         tx = make_optimizer("Adam", cfg.learning_rate)
         mesh = make_mesh(data=data_ax, model=model_ax, devices=jax.devices()[:nd])
-        ss = S.ShardedState(model, tx, mesh)
-        state, specs = ss.init(jax.random.PRNGKey(0))
-        step = S.build_sharded_train_step(model, tx, mesh, specs)
-        batch = ss.place_batch(
-            synthetic_criteo_batch(np.random.default_rng(0), B, a.feature_size)
-        )
+        raw = synthetic_criteo_batch(np.random.default_rng(0), B, a.feature_size)
+        if a.sparse:
+            from tf_repos_tpu.data.sparse_batch import SparseBatchMapper
+            from tf_repos_tpu.parallel.sparse_step import (
+                ShardedSparseState,
+                build_sharded_sparse_train_step,
+            )
+            from tf_repos_tpu.train.sparse import make_sparse_row_optimizer
+
+            sopt = make_sparse_row_optimizer(
+                "Adam", cfg.learning_rate, fused_moments=True, sorted_indices=False
+            )
+            ss = ShardedSparseState(model, tx, sopt, mesh)
+            state, specs = ss.init(jax.random.PRNGKey(0))
+            step = build_sharded_sparse_train_step(model, tx, sopt, mesh, specs)
+            raw = SparseBatchMapper(model.sparse_slots())(raw)
+        else:
+            ss = S.ShardedState(model, tx, mesh)
+            state, specs = ss.init(jax.random.PRNGKey(0))
+            step = S.build_sharded_train_step(model, tx, mesh, specs)
+        batch = ss.place_batch(raw)
         key = jax.random.PRNGKey(1)
         state, loss = step(state, batch, key)
         float(loss)
