@@ -69,6 +69,7 @@ HARNESS_WORKER = textwrap.dedent(
     jax.config.update("jax_platforms", "cpu")
     hosts, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     sparse = len(sys.argv) > 4 and sys.argv[4] == "1"
+    spd = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     from tf_repos_tpu.config import Config
     from tf_repos_tpu.train.harness import run_task
@@ -80,7 +81,7 @@ HARNESS_WORKER = textwrap.dedent(
         data_dir=os.path.join(workdir, "data"),
         model_dir=os.path.join(workdir, "model"), dt_dir="dist",
         dist_mode=2, worker_hosts=hosts, job_name="worker", task_index=pid,
-        mesh_model=2, sparse_table_update=sparse,
+        mesh_model=2, sparse_table_update=sparse, steps_per_dispatch=spd,
         # mid-train periodic eval: the decision clock is consulted every
         # 2 steps and host 0's verdict is broadcast (-1 = fire at every
         # boundary, clock-free determinism for the test)
@@ -133,6 +134,76 @@ SPARSE_WORKER = textwrap.dedent(
         placed = ss.place_batch(union(mapper(local)))
         state, loss = train(state, placed, jax.random.PRNGKey(100 + i))
         losses.append(float(loss))
+    print("LOSSES", json.dumps(losses))
+    """
+)
+
+
+MULTIK_WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    coord, pid, sparse = sys.argv[1], int(sys.argv[2]), sys.argv[3] == "1"
+    jax.distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+
+    import numpy as np
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.synthetic import synthetic_criteo_batch
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.train import loop as L
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    K = 2
+    cfg = Config(model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
+                 deep_layers="8,4", dropout="1.0,1.0", batch_size=32,
+                 optimizer="Adam", learning_rate=0.05, l2_reg=0.001)
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    mesh = make_mesh(data=2, model=2)
+
+    def local(i):
+        full = synthetic_criteo_batch(np.random.default_rng(i), cfg.batch_size, cfg.feature_size)
+        lo = pid * (cfg.batch_size // 2); hi = lo + cfg.batch_size // 2
+        return {k: v[lo:hi] for k, v in full.items()}
+
+    losses = []
+    if sparse:
+        from tf_repos_tpu.data.sparse_batch import GlobalUidsUnion, SparseBatchMapper
+        from tf_repos_tpu.parallel.sparse_step import (
+            ShardedSparseState, build_sharded_sparse_multi_train_step)
+        from tf_repos_tpu.train.sparse import UIDS_PREFIX, make_sparse_row_optimizer
+
+        slots = model.sparse_slots()
+        sopt = make_sparse_row_optimizer("Adam", 0.05, sorted_indices=False)
+        ss = ShardedSparseState(model, tx, sopt, mesh)
+        state, specs = ss.init(jax.random.PRNGKey(cfg.seed))
+        multi = build_sharded_sparse_multi_train_step(model, tx, sopt, mesh, specs, K)
+        mapper, union = SparseBatchMapper(slots), GlobalUidsUnion(slots)
+        sentinels = {UIDS_PREFIX + t: s.vocab for t, s in slots.items()}
+        for g in range(2):
+            group = [union(mapper(local(g * K + j))) for j in range(K)]
+            stacked = ss.place_stacked(L.stack_batches(group, sentinels))
+            p, o, m, lk = multi(state["params"], state["opt_state"], state["mstate"],
+                                stacked, jax.random.PRNGKey(100 + g))
+            state = {"params": p, "opt_state": o, "mstate": m}
+            losses += [float(x) for x in lk]
+    else:
+        from tf_repos_tpu.parallel import step as S
+
+        ss = S.ShardedState(model, tx, mesh)
+        state, specs = ss.init(jax.random.PRNGKey(cfg.seed))
+        multi = S.build_sharded_multi_train_step(model, tx, mesh, specs, K)
+        for g in range(2):
+            group = [local(g * K + j) for j in range(K)]
+            stacked = ss.place_stacked(L.stack_batches(group))
+            p, o, m, lk = multi(state["params"], state["opt_state"], state["mstate"],
+                                stacked, jax.random.PRNGKey(100 + g))
+            state = {"params": p, "opt_state": o, "mstate": m}
+            losses += [float(x) for x in lk]
     print("LOSSES", json.dumps(losses))
     """
 )
@@ -201,14 +272,16 @@ def test_two_process_training_matches_single(tmp_path):
     np.testing.assert_allclose(ref, losses[0], rtol=1e-5)
 
 
-@pytest.mark.parametrize("sparse", ["0", "1"])
-def test_two_process_midtrain_eval_no_deadlock(tmp_path, sparse):
+@pytest.mark.parametrize("sparse,spd", [("0", 1), ("1", 1), ("1", 2)])
+def test_two_process_midtrain_eval_no_deadlock(tmp_path, sparse, spd):
     """Periodic eval fires MID-TRAIN under multi-process without deadlock:
     the throttle decision is taken at step boundaries and host 0's verdict
     is broadcast, so both hosts enter the collective eval program at the
     same step (VERDICT r1 item 5). sparse=1 additionally routes every
     train batch through the GlobalUidsUnion host collective in _place —
-    its ordering must interleave safely with the step/eval collectives."""
+    its ordering must interleave safely with the step/eval collectives.
+    spd=2 exercises the multi-host steps_per_dispatch group path (per-batch
+    uid unions in group order, host-local stack, place_stacked)."""
     from tf_repos_tpu.data.synthetic import write_synthetic_libsvm
 
     data_dir = tmp_path / "data"
@@ -228,7 +301,7 @@ def test_two_process_midtrain_eval_no_deadlock(tmp_path, sparse):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), hosts, str(pid), str(tmp_path), sparse],
+            [sys.executable, str(script), hosts, str(pid), str(tmp_path), sparse, str(spd)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
         for pid in range(2)
@@ -300,4 +373,91 @@ def test_two_process_sparse_matches_single(tmp_path):
         batch = synthetic_criteo_batch(np.random.default_rng(i), cfg.batch_size, cfg.feature_size)
         state, loss = train(state, ss.place_batch(mapper(batch)), jax.random.PRNGKey(100 + i))
         ref.append(float(loss))
+    np.testing.assert_allclose(ref, losses[0], rtol=1e-5)
+
+
+@pytest.mark.parametrize("sparse", ["0", "1"])
+def test_two_process_steps_per_dispatch_matches_single(tmp_path, sparse):
+    """steps_per_dispatch>1 across OS processes: each host stacks its
+    LOCAL [K, B/2] slice (sparse: after the per-batch GlobalUidsUnion),
+    place_stacked assembles the global [K, B] scan batch, and the scanned
+    trajectory must equal the same multi-step run single-process on the
+    full batches."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "mkworker.py"
+    script.write_text(MULTIK_WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid), sparse],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    losses = []
+    for p in procs:
+        out, err = p.communicate(timeout=500)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("LOSSES")][0]
+        losses.append(json.loads(line[len("LOSSES "):]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+    # single-process reference: identical mesh/K/rng schedule, full batches
+    import jax
+
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.synthetic import synthetic_criteo_batch
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.train import loop as L
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    K = 2
+    cfg = Config(model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
+                 deep_layers="8,4", dropout="1.0,1.0", batch_size=32,
+                 optimizer="Adam", learning_rate=0.05, l2_reg=0.001)
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+
+    def full(i):
+        return synthetic_criteo_batch(np.random.default_rng(i), cfg.batch_size, cfg.feature_size)
+
+    ref = []
+    if sparse == "1":
+        from tf_repos_tpu.data.sparse_batch import SparseBatchMapper
+        from tf_repos_tpu.parallel.sparse_step import (
+            ShardedSparseState, build_sharded_sparse_multi_train_step)
+        from tf_repos_tpu.train.sparse import UIDS_PREFIX, make_sparse_row_optimizer
+
+        slots = model.sparse_slots()
+        sopt = make_sparse_row_optimizer("Adam", 0.05, sorted_indices=False)
+        ss = ShardedSparseState(model, tx, sopt, mesh)
+        state, specs = ss.init(jax.random.PRNGKey(cfg.seed))
+        multi = build_sharded_sparse_multi_train_step(model, tx, sopt, mesh, specs, K)
+        mapper = SparseBatchMapper(slots)
+        sentinels = {UIDS_PREFIX + t: s.vocab for t, s in slots.items()}
+        for g in range(2):
+            group = [mapper(full(g * K + j)) for j in range(K)]
+            stacked = ss.place_stacked(L.stack_batches(group, sentinels))
+            p, o, m, lk = multi(state["params"], state["opt_state"], state["mstate"],
+                                stacked, jax.random.PRNGKey(100 + g))
+            state = {"params": p, "opt_state": o, "mstate": m}
+            ref += [float(x) for x in lk]
+    else:
+        from tf_repos_tpu.parallel import step as S
+
+        ss = S.ShardedState(model, tx, mesh)
+        state, specs = ss.init(jax.random.PRNGKey(cfg.seed))
+        multi = S.build_sharded_multi_train_step(model, tx, mesh, specs, K)
+        for g in range(2):
+            group = [full(g * K + j) for j in range(K)]
+            stacked = ss.place_stacked(L.stack_batches(group))
+            p, o, m, lk = multi(state["params"], state["opt_state"], state["mstate"],
+                                stacked, jax.random.PRNGKey(100 + g))
+            state = {"params": p, "opt_state": o, "mstate": m}
+            ref += [float(x) for x in lk]
     np.testing.assert_allclose(ref, losses[0], rtol=1e-5)

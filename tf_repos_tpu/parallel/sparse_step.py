@@ -105,6 +105,21 @@ class ShardedSparseState(ShardedState):
             )
         return jax.device_put(batch, sh)
 
+    def place_stacked(self, stacked: Dict[str, Any]) -> Dict[str, jax.Array]:
+        """Place a [K, B_local, ...] stacked mapped group: data fields
+        assembled across hosts over "data", __uids_* ([K, S]) replicated
+        (identical on every host after GlobalUidsUnion per group batch)."""
+        sh = make_shardings(self.mesh, stacked_sparse_batch_spec(stacked))
+        if jax.process_count() > 1:
+            import numpy as np
+
+            return jax.tree.map(
+                lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+                dict(stacked),
+                sh,
+            )
+        return jax.device_put(stacked, sh)
+
     def init(self, rng: jax.Array):
         model, tx, mesh, sopt = self.model, self.tx, self.mesh, self.sopt
 

@@ -198,6 +198,19 @@ class ShardedState:
             )
         return jax.device_put(batch, sh)
 
+    def place_stacked(self, stacked: Dict[str, Any]) -> Dict[str, jax.Array]:
+        """Place a [K, B_local, ...] stacked group (train/loop.stack_batches):
+        scan axis replicated, batch axis assembled across hosts over "data" —
+        the multi-host entry for steps_per_dispatch>1."""
+        sh = make_shardings(self.mesh, stacked_batch_spec(stacked))
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+                dict(stacked),
+                sh,
+            )
+        return jax.device_put(stacked, sh)
+
 
 # ------------------------------------------------------------- loss pieces
 def _split_l2(model: CtrModel, pspec: Any):

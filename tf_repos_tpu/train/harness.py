@@ -317,11 +317,6 @@ class Harness:
         train_step = self._get_train_step()
         # K steps per dispatch (host-loop amortization; see config)
         K = cfg.steps_per_dispatch
-        if K > 1 and jax.process_count() > 1:
-            # multi-host stacked-batch placement (per-host slices of a
-            # [K,B] global batch) isn't wired; collectives stay per-step
-            print("WARNING: steps_per_dispatch>1 is single-process only")
-            K = 1
         if K > 1 and cfg.profile_steps:
             print(
                 "WARNING: --profile_steps requires steps_per_dispatch=1 "
@@ -386,9 +381,21 @@ class Harness:
                         UIDS_PREFIX + t: s.vocab
                         for t, s in self._sparse_slots.items()
                     }
+                    if self._uids_union is not None:
+                        # per-batch global uid union BEFORE stacking, in
+                        # group order (same host-collective sequence on
+                        # every host); the unioned sets are identical
+                        # across hosts, so the group-max sentinel padding
+                        # in stack_batches is too
+                        batches = [self._uids_union(b) for b in batches]
+                stacked = L.stack_batches(batches, sentinels)
+                if self._sharded is not None and jax.process_count() > 1:
+                    # assemble per-host [K, B_local] slices into the global
+                    # [K, B] batch on the mesh
+                    stacked = self._sharded.place_stacked(stacked)
                 p, o, m, lossk = multi_step(
                     state["params"], state["opt_state"], state["mstate"],
-                    L.stack_batches(batches, sentinels), sub,
+                    stacked, sub,
                 )
                 return {"params": p, "opt_state": o, "mstate": m}, rng, lossk
             outs = []
