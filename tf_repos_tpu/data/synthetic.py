@@ -146,30 +146,87 @@ def write_synthetic_csv(path: str, num_samples: int, cat_buckets: int = 100, see
             f.write(",".join([str(label)] + ints + cats) + "\n")
 
 
+def _planted_id_weight(ids: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic pseudo-random per-id weight in [-1, 1) (Knuth hash) —
+    the planted ground truth is a pure function of the id, so a scorer can
+    recompute it without storing a [V] table."""
+    h = (ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(salt)) & np.uint64(
+        0xFFFFFFFF
+    )
+    return (h.astype(np.float64) / 2**31) - 1.0
+
+
 def write_synthetic_aliccp(
     path: str,
     num_samples: int,
     feature_size: int = 5000,
     multi_hot: int = 4,
     seed: int = 0,
+    ctr: float = 0.5,
+    cvr_given_click: float = 0.3,
+    strength: float = 0.0,
+    truth_path: str = "",
 ) -> None:
     """Ali-CCP joined/remapped sample lines (features/aliccp.py output
     format): ``sample_id,y,z,field:fid:val ...`` consumed by
-    data/ragged.AliccpDataset."""
+    data/ragged.AliccpDataset.
+
+    strength > 0 plants a logistic structure (the ESMM convergence-demo
+    regime, analog of DeepMTL/uploads/learn_curve.png): the click logit
+    is base_rate_logit + strength * mean(id weights, salt 1), the
+    conversion-given-click logit likewise with salt 2; z=1 only when y=1
+    (the reference drops illegal y=0∧z=1 rows, get_join_mapper.py:30-31).
+    strength == 0 keeps the old unstructured labels. truth_path writes a
+    sidecar with per-line "y z p_ctr p_cvr" for Bayes-ceiling scoring."""
     rng = np.random.default_rng(seed)
     common_fields = ["101", "121", "122", "124", "125", "126", "127", "128", "129", "205", "301"]
+    ad_fields = ("206", "207", "216")
+    mh_fields = ("109_14", "110_14", "127_14", "150_14", "210")
     hi = max(feature_size - 1, 21)
+    b_y = float(np.log(ctr / (1.0 - ctr)))
+    b_z = float(np.log(cvr_given_click / (1.0 - cvr_given_click)))
+    n_single = len(common_fields) + len(ad_fields)
+    tf = open(truth_path, "w") if truth_path else None
     with open(path, "w") as f:
-        for i in range(num_samples):
-            y = int(rng.random() < 0.5)
-            z = int(y and rng.random() < 0.3)
-            feats = [f"{c}:{int(rng.integers(20, hi))}:1.0" for c in common_fields]
-            for mh in ("109_14", "110_14", "127_14", "150_14", "210"):
-                for _ in range(int(rng.integers(1, multi_hot + 1))):
-                    feats.append(f"{mh}:{int(rng.integers(20, hi))}:1.0")
-            for ad in ("206", "207", "216"):
-                feats.append(f"{ad}:{int(rng.integers(20, hi))}:1.0")
-            f.write(f"s{i},{y},{z},{' '.join(feats)}\n")
+        for chunk_lo in range(0, num_samples, 200_000):
+            n = min(200_000, num_samples - chunk_lo)
+            # batched draws (the per-line rng.integers() calls dominated the
+            # old loop); multi-hot slots beyond the per-row count are masked
+            singles = rng.integers(20, hi, size=(n, n_single))
+            mh_cnt = rng.integers(1, multi_hot + 1, size=(n, len(mh_fields)))
+            mh_ids = rng.integers(20, hi, size=(n, len(mh_fields), multi_hot))
+            mh_mask = np.arange(multi_hot)[None, None, :] < mh_cnt[:, :, None]
+            if strength > 0.0:
+                wsum_y = _planted_id_weight(singles, 1).sum(1) + (
+                    _planted_id_weight(mh_ids, 1) * mh_mask
+                ).sum((1, 2))
+                wsum_z = _planted_id_weight(singles, 2).sum(1) + (
+                    _planted_id_weight(mh_ids, 2) * mh_mask
+                ).sum((1, 2))
+                n_ids = n_single + mh_cnt.sum(1)
+                p_y = 1.0 / (1.0 + np.exp(-(b_y + strength * wsum_y / n_ids)))
+                p_z = 1.0 / (1.0 + np.exp(-(b_z + strength * wsum_z / n_ids)))
+            else:
+                p_y = np.full(n, ctr)
+                p_z = np.full(n, cvr_given_click)
+            y = (rng.random(n) < p_y).astype(np.int64)
+            z = y * (rng.random(n) < p_z).astype(np.int64)
+            # formatting Python ints is ~5x formatting np.int64 scalars
+            singles_l, mh_ids_l, mh_cnt_l = singles.tolist(), mh_ids.tolist(), mh_cnt.tolist()
+            y_l, z_l = y.tolist(), z.tolist()
+            nc = len(common_fields)
+            for r in range(n):
+                srow = singles_l[r]
+                feats = [f"{c}:{v}:1.0" for c, v in zip(common_fields, srow)]
+                mrow, crow = mh_ids_l[r], mh_cnt_l[r]
+                for j, mh in enumerate(mh_fields):
+                    feats += [f"{mh}:{v}:1.0" for v in mrow[j][: crow[j]]]
+                feats += [f"{c}:{v}:1.0" for c, v in zip(ad_fields, srow[nc:])]
+                if tf is not None:
+                    tf.write(f"{y_l[r]} {z_l[r]} {p_y[r]:.6f} {p_z[r]:.6f}\n")
+                f.write(f"s{chunk_lo + r},{y_l[r]},{z_l[r]},{' '.join(feats)}\n")
+    if tf is not None:
+        tf.close()
 
 
 def write_synthetic_libsvm(
