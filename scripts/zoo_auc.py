@@ -1,0 +1,226 @@
+"""Whole-zoo default-hypers AUC ladder on the Criteo surrogate —
+the behavioral analog of the reference's published per-model TensorBoard
+curves (deep_ctr/uploads/tensorboard_auc.png, embedded at
+deep_ctr/README.md:38): DCN 0.793 > LR 0.777 > IPNN 0.771 > DeepFM 0.769
+> wide_n_deep 0.767 > FNN 0.766 > NFM 0.765 > OPNN 0.743 > AFM 0.731.
+
+Each model trains with the reference's EXACT per-model command line
+(deep_ctr/run.sh:12-22) on the statistics-faithful 2M-line surrogate
+(data/criteo_surrogate.py; cached from scripts/criteo_parity.py when the
+work dirs match). The wide/wide_n_deep rows consume a CSV view of the
+raw surrogate (label, I1..I13, C14..C39 identity ids < 10,000 — the
+identity-column contract of wide_n_deep.py:96-97), trained with the
+canned-estimator composite optimizer (wide=FTRL, deep=Adagrad).
+
+The surrogate's planted structure is first+second-order logistic, so the
+ABSOLUTE ladder differs from real Criteo; the artifact is (a) every
+model converging with its published hypers through the real harness and
+(b) the interaction-capable models clustering near the ceiling with the
+weaker ones (LR/AFM-style) measurably below — mirroring the reference's
+band structure. Results append incrementally to ZOO_AUC.json so a
+stalled TPU tunnel loses at most one model.
+
+    python scripts/zoo_auc.py [--train_lines 2000000] [--models DCN,AFM]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tf_repos_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (name, model, published AUC, reference command line — deep_ctr/run.sh)
+LADDER = [
+    ("DCN", "DCN", 0.793,
+     dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
+          deep_layers="512,256", cross_layers=3, dropout="0.8,0.8", l2_reg=1e-5)),
+    ("LR", "wide", 0.777,
+     dict(learning_rate=5e-3, optimizer="wdl", batch_size=128,
+          deep_layers="256,128,64", dropout="1.0,1.0,1.0")),
+    ("IPNN", "ipnn", 0.771,
+     dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
+          deep_layers="256,128", dropout="0.8,0.8", l2_reg=1e-4)),
+    ("DeepFM", "DeepFM", 0.769,
+     dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
+          deep_layers="256,128", dropout="0.8,0.8", l2_reg=1e-4)),
+    ("wide_n_deep", "wide_n_deep", 0.767,
+     dict(learning_rate=5e-3, optimizer="wdl", embedding_size=32, batch_size=128,
+          deep_layers="256,128,64", dropout="1.0,1.0,1.0")),
+    ("FNN", "fnn", 0.766,
+     dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
+          deep_layers="256,128", dropout="0.8,0.8", l2_reg=1e-4)),
+    ("NFM", "NFM", 0.765,
+     dict(learning_rate=5e-5, embedding_size=64, batch_size=128,
+          deep_layers="256,128", dropout="0.5,0.5,0.5", l2_reg=1e-3,
+          batch_norm=True)),
+    ("OPNN", "opnn", 0.743,
+     dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
+          deep_layers="256,128", dropout="0.8,0.8", l2_reg=1e-4)),
+    ("AFM", "AFM", 0.731,
+     dict(learning_rate=5e-4, embedding_size=64, batch_size=128,
+          attention_layers="128", dropout="0.5,0.5", l2_reg=1e-3)),
+    ("DeepMVM", "DeepMVM", None,
+     dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
+          deep_layers="256,128", dropout="0.8,0.8", l2_reg=1e-4)),
+]
+# NFM/AFM publish embedding_size=256 (run.sh:18-19); at the surrogate's
+# 117k vocab a [V,256] f32 table alone is 120 MB (fine) but the NFM
+# bi-interaction/AFM pair terms at emb 256 x batch 128 are hopelessly
+# dispatch-bound through the tunnel — 64 keeps the architecture's
+# capacity story while staying runnable; noted in the report.
+
+
+def make_csv_view(raw_train: str, csv_dir: str) -> None:
+    """Raw surrogate TSV -> the wide_n_deep CSV contract: label, I1..I13
+    floats, C14..C39 identity ids in [1, 10000) (identity buckets,
+    default 0 — wide_n_deep.py:96-97). The reference consumed an
+    already-preprocessed CSV (its column defaults are float/int, :60-63),
+    so continuous gets the same clip-then-min-max normalization as the
+    libsvm pipeline (get_criteo_feature.py:64-91). 90/10 tr/va split."""
+    from tf_repos_tpu.features.criteo import ContinuousFeatureGenerator
+
+    os.makedirs(csv_dir, exist_ok=True)
+    cg = ContinuousFeatureGenerator()
+    with open(raw_train) as f:
+        for line in f:
+            cg.accumulate(line.rstrip("\n").split("\t"), 1)
+    tr = open(os.path.join(csv_dir, "tr.csv"), "w")
+    va = open(os.path.join(csv_dir, "va.csv"), "w")
+    with open(raw_train) as f:
+        for i, line in enumerate(f):
+            toks = line.rstrip("\n").split("\t")
+            conts = [f"{cg.gen(j, t):.6f}" for j, t in enumerate(toks[1:14])]
+            cats = [str(int(t, 16) % 9999 + 1) if t else "0" for t in toks[14:40]]
+            out = ",".join([toks[0]] + conts + cats)
+            (va if i % 10 == 9 else tr).write(out + "\n")
+    tr.close()
+    va.close()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--train_lines", type=int, default=2_000_000)
+    ap.add_argument("--test_lines", type=int, default=200_000)
+    ap.add_argument("--work_dir", default="/tmp/criteo_parity")
+    ap.add_argument("--models", default="", help="comma filter of ladder names")
+    ap.add_argument("--epochs", type=int, default=1)
+    a = ap.parse_args(argv)
+
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data import criteo_surrogate as CS
+    from tf_repos_tpu.features.criteo import preprocess
+    from tf_repos_tpu.train.harness import run_task
+
+    CS.configure(a.train_lines)
+    data = os.path.join(a.work_dir, "raw")
+    out = os.path.join(a.work_dir, "proc")
+    csv_dir = os.path.join(a.work_dir, "csv")
+    os.makedirs(data, exist_ok=True)
+    raw_train = os.path.join(data, "train.txt")
+    t0 = time.time()
+    if not os.path.exists(raw_train):
+        CS.generate_raw(raw_train, a.train_lines, seed=0)
+        CS.generate_raw(os.path.join(data, "test.txt"), a.test_lines, seed=1)
+    if not os.path.exists(os.path.join(out, "feature_map")):
+        stats = preprocess(data, out, cutoff=CS.scaled_cutoff(a.train_lines))
+        feature_size = stats["feature_size"]
+    else:
+        feature_size = sum(1 for _ in open(os.path.join(out, "feature_map")))
+    if not os.path.exists(os.path.join(csv_dir, "tr.csv")):
+        make_csv_view(raw_train, csv_dir)
+    ceiling = CS.bayes_ceiling()
+    print(f"[setup] {time.time() - t0:.0f}s feature_size={feature_size} ceiling={ceiling:.4f}")
+
+    json_path = os.path.join(REPO, "ZOO_AUC.json")
+    results = {"train_lines": a.train_lines, "feature_size": feature_size,
+               "bayes_ceiling": round(ceiling, 4), "runs": {}}
+    if os.path.exists(json_path):
+        prior = json.load(open(json_path))
+        if prior.get("train_lines") == a.train_lines:
+            results = prior
+
+    only = {m for m in a.models.split(",") if m}
+    for name, model, ref_auc, hp in LADDER:
+        if only and name not in only:
+            continue
+        if name in results["runs"]:
+            print(f"[skip] {name} (cached in ZOO_AUC.json)")
+            continue
+        wide = hp.get("optimizer") == "wdl"
+        kw = dict(
+            model=model, feature_size=feature_size, field_size=39,
+            num_epochs=a.epochs, log_steps=1000, optimizer="Adam",
+            data_dir=csv_dir if wide else out,
+            model_dir=os.path.join(a.work_dir, f"zoo_{name}"), dt_dir="z",
+            eval_throttle_secs=0, clear_existing_model=True,
+            steps_per_dispatch=64,
+        )
+        kw.update(hp)
+        cfg = Config(**kw)
+        t0 = time.time()
+        try:
+            m = run_task(cfg)
+        except Exception as e:  # keep the ladder going past one bad cell
+            print(f"[FAIL] {name}: {e}")
+            results["runs"][name] = {"error": str(e)[:500]}
+            json.dump(results, open(json_path, "w"), indent=1)
+            continue
+        rec = {
+            "model": model, "ref_auc": ref_auc, "auc": round(m["auc"], 4),
+            "pct_of_ceiling": round(100.0 * m["auc"] / ceiling, 2),
+            "wall_s": round(time.time() - t0, 1), **{k: v for k, v in hp.items()},
+        }
+        results["runs"][name] = rec
+        json.dump(results, open(json_path, "w"), indent=1)
+        print(f"[zoo] {name}: auc={rec['auc']:.4f} ({rec['pct_of_ceiling']:.1f}% of ceiling)")
+
+    write_report(results, os.path.join(REPO, "ZOO_AUC.md"))
+    print("ZOO " + json.dumps({k: v.get("auc") for k, v in results["runs"].items()}))
+
+
+def write_report(results: dict, path: str) -> None:
+    ceiling = results["bayes_ceiling"]
+    lines = [
+        "# Model-zoo default-hypers AUC ladder (scripts/zoo_auc.py)",
+        "",
+        f"Surrogate: {results['train_lines']:,} lines, feature_size "
+        f"{results['feature_size']:,}, Bayes ceiling {ceiling:.4f}. Each row "
+        "is the reference's exact per-model command line (deep_ctr/run.sh:12-22) "
+        "through the TPU harness; published AUCs from "
+        "deep_ctr/uploads/tensorboard_auc.png (real Criteo, so absolute values "
+        "differ — the parity claims are convergence + band structure).",
+        "",
+        "| model | published AUC (real Criteo) | surrogate AUC | % of ceiling |",
+        "|---|---|---|---|",
+    ]
+    runs = {k: v for k, v in results["runs"].items() if "auc" in v}
+    for name, r in sorted(runs.items(), key=lambda kv: -kv[1]["auc"]):
+        ref = f"{r['ref_auc']:.3f}" if r.get("ref_auc") else "—"
+        lines.append(
+            f"| {name} | {ref} | {r['auc']:.4f} | {r['pct_of_ceiling']:.1f}% |"
+        )
+    for name, r in results["runs"].items():
+        if "error" in r:
+            lines.append(f"| {name} | — | FAILED | {r['error'][:80]} |")
+    lines += [
+        "",
+        "NFM/AFM run at embedding_size 64 (published 256) — the pair-term "
+        "compute at emb 256 x batch 128 is dispatch-bound through the dev "
+        "tunnel; architecture and all other hypers unchanged.",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

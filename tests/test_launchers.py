@@ -122,3 +122,35 @@ def test_aliccp_mr_launchers_local_mode(tmp_path):
         _, _, _, feats = line.split(",", 3)
         for fstr in feats.split(" "):
             assert int(fstr.split(":")[1]) >= REMAP_BASE
+
+
+def test_zoo_csv_view_contract(tmp_path):
+    """scripts/zoo_auc.make_csv_view: raw surrogate TSV -> the
+    wide_n_deep CSV contract (wide_n_deep.py:55-63): label int, I1..I13
+    min-max-normalized floats in [0,1], C14..C39 identity ids in
+    [1, 10000); parses through the real CsvDataset."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import numpy as np
+
+    from tf_repos_tpu.data import criteo_surrogate as CS
+    from tf_repos_tpu.data.csv import CsvDataset
+    from zoo_auc import make_csv_view
+
+    CS.configure(5000)
+    raw = tmp_path / "train.txt"
+    CS.generate_raw(str(raw), 5000, seed=0)
+    make_csv_view(str(raw), str(tmp_path / "csv"))
+
+    n = 0
+    for batch in CsvDataset([str(tmp_path / "csv" / "tr.csv")], batch_size=512):
+        m = batch["mask"] > 0
+        cont, cat = batch["cont"][m], batch["cat"][m]
+        assert cont.min() >= 0.0 and cont.max() <= 1.0
+        assert cat.min() >= 1 and cat.max() < 10000
+        assert set(np.unique(batch["label"][m])) <= {0.0, 1.0}
+        n += int(m.sum())
+    n_va = sum(1 for _ in open(tmp_path / "csv" / "va.csv"))
+    assert n == 4500 and n_va == 500
