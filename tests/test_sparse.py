@@ -507,3 +507,21 @@ def test_sparse_steps_per_dispatch_matches_single(tmp_path):
     assert m1["step"] == m4["step"]
     assert abs(m1["auc"] - m4["auc"]) < 1e-5
     assert abs(m1["loss"] - m4["loss"]) < 1e-5
+
+
+def test_sparse_composes_with_static_fields():
+    """--static_fields + --sparse_table_update (single-chip): the mapper
+    seeds ids 0..static (SparseSlot.static) so position == id across the
+    static block, and the model's constant-row slice reads the right rows
+    off the gathered [S,K] matrix. The trajectory must match the dense
+    static path AND the plain dense path (static_fields itself is
+    trajectory-exact) to float tolerance."""
+    cfg = _cfg(static_fields=13)
+    batches = _batches(cfg, 3)
+    _, p_s, _, l_s = _run_sparse(cfg, batches)
+    _, p_d, _, l_d = _run_dense(cfg, batches)
+    _, _, _, l_plain = _run_dense(_cfg(), batches)
+    np.testing.assert_allclose(l_s, l_d, rtol=1e-6)
+    np.testing.assert_allclose(l_s, l_plain, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7)

@@ -77,8 +77,12 @@ class SparseBatchMapper:
             ids = np.concatenate([a.ravel() for a in fields])
             # id 0 (the reserved padding row) is always in the unique set;
             # u is ascending, so 0 keeps position 0 and the models'
-            # `ids > 0` multi-hot masking survives the remap unchanged
-            seen[0] = True
+            # `ids > 0` multi-hot masking survives the remap unchanged.
+            # Likewise ids 1..static (constant-id continuous rows,
+            # SparseSlot.static): seeding the whole prefix makes
+            # position == id for every id <= static unconditionally, so
+            # the model's static-rows slice works on the gathered matrix
+            seen[: slot.static + 1] = True
             seen[ids] = True
             u = np.flatnonzero(seen)  # ascending unique, int64
             remap[u] = np.arange(u.size, dtype=np.int32)

@@ -42,10 +42,18 @@ REPLICATED = P()
 class SparseSlot(NamedTuple):
     """One big embedding table eligible for lazy touched-rows updates
     (train/sparse.py): the batch fields holding ids into it, and its
-    vocab size (rows)."""
+    vocab size (rows).
+
+    static > 0: the model slices rows 1..static directly (constant-id
+    continuous fields, --static_fields). The mapper then seeds ids
+    0..static into every dedup set, so position == id for the whole
+    static block and the model's dynamic_slice reads the same rows off
+    the gathered [S, K] matrix as off the full table — the slice path
+    composes with lazy sparse updates without any model change."""
 
     fields: Tuple[str, ...]
     vocab: int
+    static: int = 0
 
 
 class CtrModel:

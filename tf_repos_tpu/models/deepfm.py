@@ -120,4 +120,9 @@ class DeepFM(CtrModel):
         return spec
 
     def sparse_slots(self):
-        return {"fm_wv": SparseSlot(("feat_ids",), self.cfg.feature_size)}
+        return {
+            "fm_wv": SparseSlot(
+                ("feat_ids",), self.cfg.feature_size,
+                static=self.cfg.static_fields,
+            )
+        }

@@ -69,11 +69,12 @@ class Harness:
             from tf_repos_tpu.data.sparse_batch import GlobalUidsUnion
 
             self._uids_union = GlobalUidsUnion(self._sparse_slots)
-        if cfg.static_fields and self._sparse_slots is not None:
+        if cfg.static_fields and self._sparse_slots is not None and self.mesh is not None:
             raise ValueError(
-                "--static_fields and --sparse_table_update are mutually "
-                "exclusive (the sparse mapper remaps ids, breaking the "
-                "constant-id slice contract)"
+                "--static_fields with --sparse_table_update is single-chip "
+                "only (the sharded psum lookup has no slice fast path); "
+                "on one chip they compose: SparseSlot.static seeds the "
+                "mapper so position == id for the static block"
             )
         self._table_dtype = None
         if cfg.param_dtype not in ("float32", "f32", ""):
