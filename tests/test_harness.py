@@ -144,3 +144,74 @@ def test_steps_per_dispatch_matches_single(workdir):
     assert m1["step"] == m4["step"]
     assert abs(m1["auc"] - m4["auc"]) < 1e-5
     assert abs(m1["loss"] - m4["loss"]) < 1e-5
+
+
+GRACEFUL_WORKER = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from tf_repos_tpu.config import Config
+from tf_repos_tpu.train.harness import run_task
+
+m = run_task(Config(
+    model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
+    deep_layers="8,4", dropout="1.0,1.0", batch_size=16,
+    num_epochs=int(sys.argv[3]),
+    log_steps=20, learning_rate=0.01, data_dir=sys.argv[1],
+    model_dir=sys.argv[2], dt_dir="g", eval_throttle_secs=0,
+))
+print("RESULT_STOPPED", int(m.get("stopped_by_signal", 0)), m["step"])
+"""
+
+
+def test_graceful_sigterm_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-train -> the loop breaks at a step boundary, saves a
+    checkpoint, skips the final eval, exits 0 (GracefulStop — preemption
+    handling); a fresh run against the same model_dir resumes from the
+    saved step."""
+    import signal
+    import subprocess
+    import sys
+    import time as T
+
+    data = tmp_path / "data"
+    data.mkdir()
+    write_synthetic_libsvm(str(data / "tr.part0.libsvm"), 400, feature_size=500, seed=0)
+    write_synthetic_libsvm(str(data / "va.part0.libsvm"), 50, feature_size=500, seed=1)
+    script = tmp_path / "worker.py"
+    script.write_text(GRACEFUL_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    p = subprocess.Popen(
+        [sys.executable, str(script), str(data), str(tmp_path / "model"), "2000"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+    # wait for training to actually produce steps, then preempt
+    deadline = T.time() + 120
+    while T.time() < deadline:
+        T.sleep(1.0)
+        mdir = tmp_path / "model" / "g"
+        if mdir.exists():
+            T.sleep(3.0)  # past compile, into the loop
+            break
+    p.send_signal(signal.SIGTERM)
+    out, err = p.communicate(timeout=120)
+    assert p.returncode == 0, f"not a clean exit:\\n{err[-2000:]}"
+    assert "graceful shutdown: checkpointing at step" in out
+    line = [l for l in out.splitlines() if l.startswith("RESULT_STOPPED")][0]
+    _, stopped, step = line.split()
+    assert stopped == "1" and int(step) > 0
+
+    # resume continues from the saved step (short finishing run, same
+    # device topology as the preempted process)
+    r = subprocess.run(
+        [sys.executable, str(script), str(data), str(tmp_path / "model"), "1"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line2 = [l for l in r.stdout.splitlines() if l.startswith("RESULT_STOPPED")][0]
+    _, stopped2, step2 = line2.split()
+    assert stopped2 == "0" and int(step2) > int(step)

@@ -103,6 +103,9 @@ class Config:
     # attached chips. Single-chip dense path; log/eval/ckpt cadences
     # round to dispatch boundaries.
     steps_per_dispatch: int = 1
+    # SIGTERM -> checkpoint + clean exit (preemptible/spot TPU pools);
+    # multi-host stop is coordinated at eval_decision_steps boundaries
+    graceful_shutdown: bool = True
     # first N libsvm fields have CONSTANT ids 1..N (the Criteo
     # preprocessor emits continuous features that way, features/criteo.py
     # _emit_line): their table rows are SLICED instead of gathered, and

@@ -35,6 +35,63 @@ from tf_repos_tpu.train.checkpoint import CheckpointManager, clear_existing_mode
 from tf_repos_tpu.train.optimizers import make_optimizer
 
 
+class GracefulStop:
+    """SIGTERM -> finish the in-flight dispatch, break the train loop,
+    checkpoint, exit 0 — preemption handling for TPU pools (preemptible /
+    spot capacity sends SIGTERM with a short grace window; the reference
+    relied on Estimator autosave cadence and lost the tail since the
+    last save).
+
+    Multi-host: the signal typically lands on ONE host, and a host that
+    breaks early while others keep dispatching collective programs
+    deadlocks the mesh — so the local flag is OR-reduced across hosts
+    (process_allgather) only at eval-decision step boundaries, the same
+    points every host already reaches in lockstep; all hosts then stop
+    at the same step with identical collective counts."""
+
+    def __init__(self, install: bool, decision_steps: int, k: int):
+        import signal
+
+        self.requested = False
+        self.stopped = False
+        self._decision_steps = max(decision_steps, 1)
+        self._k = max(k, 1)
+        self._prev = None
+        self._installed = False
+        if install:
+            try:
+                self._prev = signal.signal(signal.SIGTERM, self._on_signal)
+                self._installed = True
+            except ValueError:
+                pass  # not the main thread (library use) — flag stays manual
+
+    def _on_signal(self, signum, frame):
+        self.requested = True
+        print("INFO: SIGTERM received; will checkpoint and stop at a step boundary")
+
+    def should_stop(self, step: int) -> bool:
+        if jax.process_count() > 1:
+            # coordinate only at boundaries every host hits at the same
+            # collective count (same cadence as the eval decision)
+            if step % self._decision_steps >= self._k:
+                return False
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray(self.requested, np.int32)
+            )
+            self.stopped = bool(flags.max())
+        else:
+            self.stopped = self.requested
+        return self.stopped
+
+    def restore(self) -> None:
+        import signal
+
+        if self._installed:
+            signal.signal(signal.SIGTERM, self._prev)
+
+
 class Harness:
     def __init__(self, cfg: Config, model: Optional[CtrModel] = None):
         self.cfg = cfg
@@ -361,6 +418,9 @@ class Harness:
             writer = MetricsWriter(self.model_dir)
         profiler = None
 
+        stop = GracefulStop(
+            cfg.graceful_shutdown, cfg.eval_decision_steps, K
+        )
         losses: List[float] = []
         t0 = time.time()
         last_log, last_eval = t0, t0
@@ -483,14 +543,27 @@ class Harness:
                     if writer and metrics:
                         writer.write(step, metrics, kind="eval")
                     last_eval = time.time()
+            if stop.should_stop(step):
+                print(f"INFO: graceful shutdown: checkpointing at step {step}")
+                break
 
-        if group:  # tail batches of an unfinished K-group
+        if group and not stop.stopped:  # tail batches of an unfinished K-group
             state, rng, lossk = run_group(state, rng, group)
             step += len(group)
         if profiler:
             profiler.__exit__()
+        stop.restore()
         ckpt.save(step, dict(state, step=step), force=True)
         ckpt.close()
+        if stop.stopped:
+            # preemption grace windows are short: persist state, skip the
+            # final eval pass; resume picks up at `step` (tested)
+            metrics["step"] = step
+            metrics["wall_time"] = time.time() - t0
+            metrics["stopped_by_signal"] = 1.0
+            if writer:
+                writer.close()
+            return metrics
         metrics = self._maybe_eval(state["params"], state["mstate"]) or metrics
         metrics["step"] = step
         metrics["wall_time"] = time.time() - t0
