@@ -525,3 +525,20 @@ def test_sparse_composes_with_static_fields():
     np.testing.assert_allclose(l_s, l_plain, rtol=1e-6)
     for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_d)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7)
+
+
+def test_pow2_floor_pad_mode():
+    """pad_mode="pow2:<floor>" starts every uids bucket at <floor> (skips
+    the growth-ladder recompiles) and produces identical remapped batches
+    to plain pow2 apart from longer sentinel padding."""
+    cfg = _cfg(feature_size=5000)
+    model = create_model(cfg)
+    b = _batches(cfg, 1)[0]
+    m_plain = SparseBatchMapper(model.sparse_slots())(dict(b))
+    m_floor = SparseBatchMapper(model.sparse_slots(), pad_mode="pow2:2048")(dict(b))
+    uids_p = m_plain["__uids_fm_wv"]
+    uids_f = m_floor["__uids_fm_wv"]
+    assert len(uids_f) == 2048 and len(uids_p) < 2048
+    np.testing.assert_array_equal(uids_f[: len(uids_p)], uids_p)
+    assert (uids_f[len(uids_p):] == cfg.feature_size).all()  # sentinels
+    np.testing.assert_array_equal(m_floor["feat_ids"], m_plain["feat_ids"])

@@ -45,13 +45,21 @@ class SparseBatchMapper:
         (tiny runs, CI)."""
 
     def __init__(self, slots: Dict[str, "SparseSlot"], pad_mode: str = "pow2"):
+        floor = 0
+        if pad_mode.startswith("pow2:"):
+            # "pow2:<floor>" — start every bucket at <floor> slots. The
+            # monotonic pow2 growth costs one full scan-program recompile
+            # per doubling (measured: they dominate the first epoch's
+            # wall clock at 4.5M vocab); a floor near the steady-state
+            # unique count skips the whole growth ladder.
+            pad_mode, floor = "pow2", int(pad_mode.split(":", 1)[1])
         if pad_mode not in ("pow2", "max"):
-            raise ValueError(f"pad_mode {pad_mode!r} not in ('pow2', 'max')")
+            raise ValueError(f"pad_mode {pad_mode!r} not in ('pow2', 'max', 'pow2:<floor>')")
         self.slots = slots
         self.pad_mode = pad_mode
         self._seen: Dict[str, np.ndarray] = {}
         self._remap: Dict[str, np.ndarray] = {}
-        self._bucket: Dict[str, int] = {}
+        self._bucket: Dict[str, int] = {n: floor for n in slots} if floor else {}
 
     def _s_pad(self, name: str, vocab: int, total_slots: int, uniq: int) -> int:
         if self.pad_mode == "max":
