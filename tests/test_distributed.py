@@ -70,13 +70,14 @@ HARNESS_WORKER = textwrap.dedent(
     hosts, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     sparse = len(sys.argv) > 4 and sys.argv[4] == "1"
     spd = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    epochs = int(sys.argv[6]) if len(sys.argv) > 6 else 3
 
     from tf_repos_tpu.config import Config
     from tf_repos_tpu.train.harness import run_task
 
     cfg = Config(
         model="DeepFM", feature_size=500, field_size=39, embedding_size=4,
-        deep_layers="8,4", dropout="1.0,1.0", batch_size=32, num_epochs=3,
+        deep_layers="8,4", dropout="1.0,1.0", batch_size=32, num_epochs=epochs,
         log_steps=5, learning_rate=0.01, seed=7,
         data_dir=os.path.join(workdir, "data"),
         model_dir=os.path.join(workdir, "model"), dt_dir="dist",
@@ -461,3 +462,52 @@ def test_two_process_steps_per_dispatch_matches_single(tmp_path, sparse):
             state = {"params": p, "opt_state": o, "mstate": m}
             ref += [float(x) for x in lk]
     np.testing.assert_allclose(ref, losses[0], rtol=1e-5)
+
+
+def test_two_process_sigterm_one_host_stops_both(tmp_path):
+    """Graceful preemption under multi-process: SIGTERM lands on ONE
+    worker; its local flag is OR-reduced across hosts at eval-decision
+    boundaries (GracefulStop), so BOTH workers break at the same step
+    and exit 0 instead of deadlocking the mesh."""
+    import signal
+    import time as T
+
+    from tf_repos_tpu.data.synthetic import write_synthetic_libsvm
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    write_synthetic_libsvm(str(data_dir / "tr.part0.libsvm"), 300, feature_size=500, seed=0)
+    write_synthetic_libsvm(str(data_dir / "tr.part1.libsvm"), 300, feature_size=500, seed=3)
+    write_synthetic_libsvm(str(data_dir / "va.part0.libsvm"), 50, feature_size=500, seed=1)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "hworker.py"
+    script.write_text(HARNESS_WORKER)
+    hosts = f"127.0.0.1:{_free_port()},127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    # many epochs so training outlives the signal; eval_decision_steps=2
+    # (set in HARNESS_WORKER) keeps the stop-coordination cadence tight
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), hosts, str(pid), str(tmp_path), "0", "1", "2000"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    # wait until training is demonstrably under way (checkpointless probe:
+    # worker logs land in pipes, so just give bring-up generous time)
+    T.sleep(45)
+    procs[1].send_signal(signal.SIGTERM)
+    outs = []
+    for pid, p in enumerate(procs):
+        out, err = p.communicate(timeout=500)
+        assert p.returncode == 0, f"worker {pid} died uncleanly:\n{err[-3000:]}"
+        assert any(l.startswith("DONE") for l in out.splitlines()), out[-1500:]
+        outs.append(out)
+    # the signalled worker logged the graceful path; both stopped at the
+    # same step (the DONE line carries the final step count)
+    assert "graceful shutdown" in outs[1]
+    done = [l for o in outs for l in o.splitlines() if l.startswith("DONE")]
+    assert len(done) == 2 and done[0] == done[1], done
