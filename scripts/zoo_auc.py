@@ -60,24 +60,20 @@ LADDER = [
      dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
           deep_layers="256,128", dropout="0.8,0.8", l2_reg=1e-4)),
     ("NFM", "NFM", 0.765,
-     dict(learning_rate=5e-5, embedding_size=64, batch_size=128,
+     dict(learning_rate=5e-5, embedding_size=256, batch_size=128,
           deep_layers="256,128", dropout="0.5,0.5,0.5", l2_reg=1e-3,
           batch_norm=True)),
     ("OPNN", "opnn", 0.743,
      dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
           deep_layers="256,128", dropout="0.8,0.8", l2_reg=1e-4)),
     ("AFM", "AFM", 0.731,
-     dict(learning_rate=5e-4, embedding_size=64, batch_size=128,
+     dict(learning_rate=5e-4, embedding_size=256, batch_size=128,
           attention_layers="128", dropout="0.5,0.5", l2_reg=1e-3)),
     ("DeepMVM", "DeepMVM", None,
      dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
           deep_layers="256,128", dropout="0.8,0.8", l2_reg=1e-4)),
 ]
-# NFM/AFM publish embedding_size=256 (run.sh:18-19); at the surrogate's
-# 117k vocab a [V,256] f32 table alone is 120 MB (fine) but the NFM
-# bi-interaction/AFM pair terms at emb 256 x batch 128 are hopelessly
-# dispatch-bound through the tunnel — 64 keeps the architecture's
-# capacity story while staying runnable; noted in the report.
+
 
 
 def make_csv_view(raw_train: str, csv_dir: str) -> None:

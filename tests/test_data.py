@@ -262,3 +262,30 @@ def test_native_aliccp_scinote_and_extra_colons():
     assert got["feat_ids"][0][9] == 7  # 205 slot
     # 206 dropped (4 parts) -> default 16; 207 kept
     assert got["a_catids"][0] == 16 and got["a_shopids"][0] == 9
+
+
+def test_aliccp_match_structure(tmp_path):
+    """write_synthetic_aliccp(match_prob>0): the ad category (field 206)
+    is drawn from the 109_14 history for ~match_prob of lines, and the
+    truth sidecar's p_ctr is strictly higher for contained ads (the DIN
+    convergence-demo retrieval structure)."""
+    from tf_repos_tpu.data.synthetic import write_synthetic_aliccp
+
+    path = tmp_path / "s.txt"
+    truth = tmp_path / "s.truth"
+    write_synthetic_aliccp(
+        str(path), 4000, feature_size=3000, multi_hot=10, seed=0,
+        ctr=0.15, match_prob=0.3, match_strength=4.0, truth_path=str(truth),
+    )
+    import numpy as np
+
+    t = np.loadtxt(truth)
+    matched, unmatched = [], []
+    for line, p_y in zip(open(path), t[:, 2]):
+        feats = line.strip().split(",", 3)[3].split(" ")
+        hist = {f.split(":")[1] for f in feats if f.startswith("109_14:")}
+        ad = [f.split(":")[1] for f in feats if f.startswith("206:")][0]
+        (matched if ad in hist else unmatched).append(p_y)
+    frac = len(matched) / 4000
+    assert 0.25 < frac < 0.40, frac  # match_prob + chance collisions
+    assert min(matched) > max(unmatched)  # two-point p_ctr distribution

@@ -165,6 +165,8 @@ def write_synthetic_aliccp(
     ctr: float = 0.5,
     cvr_given_click: float = 0.3,
     strength: float = 0.0,
+    match_prob: float = 0.0,
+    match_strength: float = 0.0,
     truth_path: str = "",
 ) -> None:
     """Ali-CCP joined/remapped sample lines (features/aliccp.py output
@@ -177,7 +179,15 @@ def write_synthetic_aliccp(
     conversion-given-click logit likewise with salt 2; z=1 only when y=1
     (the reference drops illegal y=0∧z=1 rows, get_join_mapper.py:30-31).
     strength == 0 keeps the old unstructured labels. truth_path writes a
-    sidecar with per-line "y z p_ctr p_cvr" for Bayes-ceiling scoring."""
+    sidecar with per-line "y z p_ctr p_cvr" for Bayes-ceiling scoring.
+
+    match_prob/match_strength plant a RETRIEVAL structure (the DIN
+    convergence-demo regime, exercising the attention unit
+    specifically): with probability match_prob the ad's category id
+    (field 206) is copied from the line's behavior history (field
+    109_14), and the click logit gains match_strength * 1[matched] —
+    the "ad relates to past behavior" signal DIN's attention models
+    (DIN.py:152-173) and plain sum-pooling blurs at long histories."""
     rng = np.random.default_rng(seed)
     common_fields = ["101", "121", "122", "124", "125", "126", "127", "128", "129", "205", "301"]
     ad_fields = ("206", "207", "216")
@@ -196,7 +206,22 @@ def write_synthetic_aliccp(
             mh_cnt = rng.integers(1, multi_hot + 1, size=(n, len(mh_fields)))
             mh_ids = rng.integers(20, hi, size=(n, len(mh_fields), multi_hot))
             mh_mask = np.arange(multi_hot)[None, None, :] < mh_cnt[:, :, None]
-            if strength > 0.0:
+            match = np.zeros(n, np.float64)
+            if match_prob > 0.0:
+                m = rng.random(n) < match_prob
+                pick = rng.integers(0, mh_cnt[:, 0])  # per-row choice in history
+                matched_id = mh_ids[np.arange(n), 0, pick]
+                # ad category (first ad field, "206") := a history id
+                singles[:, n_single - len(ad_fields)] = np.where(
+                    m, matched_id, singles[:, n_single - len(ad_fields)]
+                )
+                # label follows the TRUE containment, which can also occur
+                # by chance for unmatched rows
+                match = (
+                    (mh_ids[:, 0, :] == singles[:, n_single - len(ad_fields), None])
+                    & mh_mask[:, 0, :]
+                ).any(1).astype(np.float64)
+            if strength > 0.0 or match_strength > 0.0:
                 wsum_y = _planted_id_weight(singles, 1).sum(1) + (
                     _planted_id_weight(mh_ids, 1) * mh_mask
                 ).sum((1, 2))
@@ -204,7 +229,9 @@ def write_synthetic_aliccp(
                     _planted_id_weight(mh_ids, 2) * mh_mask
                 ).sum((1, 2))
                 n_ids = n_single + mh_cnt.sum(1)
-                p_y = 1.0 / (1.0 + np.exp(-(b_y + strength * wsum_y / n_ids)))
+                p_y = 1.0 / (1.0 + np.exp(
+                    -(b_y + strength * wsum_y / n_ids + match_strength * match)
+                ))
                 p_z = 1.0 / (1.0 + np.exp(-(b_z + strength * wsum_z / n_ids)))
             else:
                 p_y = np.full(n, ctr)
