@@ -289,3 +289,42 @@ def test_aliccp_match_structure(tmp_path):
     frac = len(matched) / 4000
     assert 0.25 < frac < 0.40, frac  # match_prob + chance collisions
     assert min(matched) > max(unmatched)  # two-point p_ctr distribution
+
+
+def test_prefetcher_abandoned_iterator_stops_worker(tmp_path):
+    """Breaking out of a Prefetcher mid-stream (graceful shutdown,
+    synchronized_iterator cut) must stop the background thread instead
+    of leaving it blocked on the full queue holding open files."""
+    import threading
+    import time as T
+
+    from tf_repos_tpu.data.pipeline import Prefetcher
+
+    produced = []
+
+    def gen():
+        for i in range(10_000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = iter(Prefetcher(gen(), size=2))
+    assert next(it) == 0
+    it.close()  # abandon
+    deadline = T.time() + 5
+    while threading.active_count() > before and T.time() < deadline:
+        T.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+    assert len(produced) < 100  # it stopped producing, not just detached
+
+    # and the normal path still terminates with all items + error propagation
+    assert list(Prefetcher(iter(range(5)), size=2)) == [0, 1, 2, 3, 4]
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        list(Prefetcher(bad(), size=2))

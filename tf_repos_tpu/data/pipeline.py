@@ -28,25 +28,47 @@ class Prefetcher(Iterable[T]):
     def __iter__(self) -> Iterator[T]:
         q: "queue.Queue" = queue.Queue(maxsize=self._size)
         err: List[BaseException] = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for item in self._it:
-                    q.put(item)
+                    # bounded put that notices consumer abandonment: if
+                    # the consumer breaks mid-epoch (graceful shutdown,
+                    # synchronized_iterator cut) a plain q.put would
+                    # block forever, leaking the thread + open files
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # propagate into consumer
                 err.append(e)
             finally:
-                q.put(_STOP)
-
+                # same bounded put: _STOP must not be dropped on the
+                # normal path (full queue, slow consumer), and must not
+                # block forever on the abandoned path
+                while not stop.is_set():
+                    try:
+                        q.put(_STOP, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _STOP:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _STOP:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()
 
 
 def synchronized_iterator(
