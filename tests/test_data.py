@@ -328,3 +328,52 @@ def test_prefetcher_abandoned_iterator_stops_worker(tmp_path):
 
     with _pytest.raises(ValueError, match="boom"):
         list(Prefetcher(bad(), size=2))
+
+
+def test_packed_cache_builds_hits_and_invalidates(tmp_path):
+    """--packed_cache: first pass parses text AND writes the sidecar;
+    later passes memmap it and yield identical batches; editing the
+    source invalidates the cache."""
+    import json
+    import os
+
+    path = str(tmp_path / "tr.libsvm")
+    write_synthetic_libsvm(path, 25, feature_size=500)
+
+    def collect(**kw):
+        ds = LibsvmDataset([path], field_size=39, batch_size=10, num_epochs=1, **kw)
+        return list(ds)
+
+    plain = collect()
+    built = collect(packed_cache=True)
+    meta = tmp_path / ".packed_cache" / "tr.libsvm.f39.meta.json"
+    assert meta.exists()
+    rows = json.loads(meta.read_text())["rows"]
+    assert rows == 25
+    cached = collect(packed_cache=True)  # second run: memmap path
+    for a, b, c in zip(plain, built, cached):
+        for k in ("feat_ids", "feat_vals", "label", "mask"):
+            np.testing.assert_array_equal(a[k], b[k])
+            np.testing.assert_array_equal(a[k], c[k])
+    # no temp leftovers from the build
+    assert not [f for f in os.listdir(tmp_path / ".packed_cache") if ".tmp." in f]
+
+    # multi-epoch with shuffle: cache hit preserves the example multiset
+    ds2 = LibsvmDataset(
+        [path], field_size=39, batch_size=5, num_epochs=2,
+        perform_shuffle=True, seed=3, packed_cache=True,
+    )
+    seen = []
+    for b in ds2:
+        seen.extend(np.asarray(b["feat_ids"])[b["mask"] > 0, 13].tolist())
+    ref = []
+    for b in plain:
+        ref.extend(np.asarray(b["feat_ids"])[b["mask"] > 0, 13].tolist())
+    assert sorted(seen) == sorted(ref * 2)
+
+    # invalidation: rewrite the source with different content
+    write_synthetic_libsvm(path, 12, feature_size=500, seed=7)
+    os.utime(path, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    after = collect(packed_cache=True)
+    assert int(sum(b["mask"].sum() for b in after)) == 12
+    assert json.loads(meta.read_text())["rows"] == 12

@@ -132,6 +132,12 @@ class Config:
     # v5e: device row-op cost scales with the PADDED length, so "max" at
     # high dedup ratios wastes most of the lazy path's win.
     sparse_pad_mode: str = "pow2"
+    # parse libsvm text once and memmap a packed binary sidecar
+    # (<data_dir>/.packed_cache/, data/cache.py) on every later epoch and
+    # run — the TFRecord-materialization role in the reference's pipeline.
+    # The text parse (~1.2M lines/s) is the end-to-end bottleneck against
+    # one chip's ~1.6M examples/s; cached epochs read at memory bandwidth.
+    packed_cache: bool = False
     # padded length for multi-hot (ragged) fields; the reference carries these
     # as VarLen sparse tensors (DIN.py:65-76) — on TPU they become fixed-shape
     # padded arrays with id==0 masking (DIN.py:157 mask convention).

@@ -108,6 +108,7 @@ class LibsvmDataset:
         seed: Optional[int] = None,
         use_native: bool = True,
         parse_workers: int = 2,
+        packed_cache: bool = False,
     ):
         if isinstance(filenames, (str, bytes)):
             filenames = [filenames]
@@ -120,6 +121,7 @@ class LibsvmDataset:
         self.drop_remainder = drop_remainder
         self.read_chunk_bytes = read_chunk_bytes
         self.parse_workers = parse_workers
+        self.packed_cache = packed_cache
         self.rng = random.Random(seed)
         self._nprng = np.random.default_rng(seed)
         self._parse = parse_libsvm_lines
@@ -171,8 +173,14 @@ class LibsvmDataset:
         yield from buf
 
     def __iter__(self) -> Iterator[Batch]:
+        if self.packed_cache:
+            # parse once -> packed binary sidecar; memmap on every later
+            # epoch/run (data/cache.py). Works with either parser.
+            yield from self._iter_array_batches(self._iter_cached_chunks())
+            return
         if self._native is not None:
-            yield from self._iter_array_batches()
+            chunk_bytes = max(self.read_chunk_bytes, 16 << 20)
+            yield from self._iter_array_batches(self._iter_parsed_chunks(chunk_bytes))
             return
         pending: List[bytes] = []
         for ln in self._iter_shuffled_lines():
@@ -184,6 +192,24 @@ class LibsvmDataset:
             yield self._make_batch(pending, full=False)
 
     # --------------------------------------------------- native fast path
+    def _blobs_for_file(self, path: str, chunk_bytes: int) -> Iterator[bytes]:
+        """Line-aligned byte chunks of one file."""
+        with open(path, "rb") as f:
+            carry = b""
+            while True:
+                chunk = f.read(chunk_bytes)
+                if not chunk:
+                    if carry.strip():
+                        yield carry
+                    break
+                chunk = carry + chunk
+                cut = chunk.rfind(b"\n")
+                if cut == -1:
+                    carry = chunk
+                    continue
+                yield chunk[: cut + 1]
+                carry = chunk[cut + 1 :]
+
     def _iter_line_aligned_blobs(self, chunk_bytes: Optional[int] = None) -> Iterator[bytes]:
         """Line-aligned byte chunks, files reshuffled per epoch."""
         chunk_bytes = chunk_bytes or self.read_chunk_bytes
@@ -192,21 +218,7 @@ class LibsvmDataset:
             if self.perform_shuffle:
                 self.rng.shuffle(files)
             for path in files:
-                with open(path, "rb") as f:
-                    carry = b""
-                    while True:
-                        chunk = f.read(chunk_bytes)
-                        if not chunk:
-                            if carry.strip():
-                                yield carry
-                            break
-                        chunk = carry + chunk
-                        cut = chunk.rfind(b"\n")
-                        if cut == -1:
-                            carry = chunk
-                            continue
-                        yield chunk[: cut + 1]
-                        carry = chunk[cut + 1 :]
+                yield from self._blobs_for_file(path, chunk_bytes)
 
     def _iter_parsed_chunks(self, chunk_bytes: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Parse chunks on a small thread pool (the C parser releases the
@@ -232,9 +244,64 @@ class LibsvmDataset:
             while futs:
                 yield futs.popleft().result()
 
-    def _iter_array_batches(self) -> Iterator[Batch]:
-        """Chunk-parallel path: parse whole line-aligned chunks with the
-        C++ parser, shuffle by vectorized permutation WITHIN each chunk
+    def _parse_file_chunks(
+        self, path: str, chunk_bytes: int
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """In-order parsed chunks of ONE file; thread-pooled when the
+        GIL-releasing native parser is present, inline otherwise."""
+        if self._native is not None:
+            parse = self._native.parse_libsvm_blob
+        else:
+            parse = parse_libsvm_bytes
+        workers = max(self.parse_workers, 1)
+        if workers == 1 or self._native is None:
+            for blob in self._blobs_for_file(path, chunk_bytes):
+                yield parse(blob, self.field_size)
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            futs: collections.deque = collections.deque()
+            for blob in self._blobs_for_file(path, chunk_bytes):
+                futs.append(ex.submit(parse, blob, self.field_size))
+                while len(futs) > workers:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
+
+    def _iter_cached_chunks(
+        self, rows_per_chunk: int = 65536
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Chunk source for --packed_cache: memmap slices of the packed
+        sidecar when it is valid; otherwise parse the text AND stream the
+        sidecar to disk for every later epoch/run (data/cache.py)."""
+        from tf_repos_tpu.data.cache import PackedCache, PackedCacheWriter
+
+        chunk_bytes = max(self.read_chunk_bytes, 16 << 20)
+        for _ in range(self.num_epochs):
+            files = list(self.filenames)
+            if self.perform_shuffle:
+                self.rng.shuffle(files)
+            for path in files:
+                cached = PackedCache.open(path, self.field_size)
+                if cached is not None:
+                    yield from cached.iter_chunks(rows_per_chunk)
+                    continue
+                writer = PackedCacheWriter(path, self.field_size)
+                try:
+                    for chunk in self._parse_file_chunks(path, chunk_bytes):
+                        writer.append(*chunk)
+                        yield chunk
+                except BaseException:
+                    writer.abort()
+                    raise
+                writer.commit()
+
+    def _iter_array_batches(self, chunks) -> Iterator[Batch]:
+        """Array-chunk path: consume (ids, vals, labels) chunks (parsed
+        text or packed-cache memmap slices), shuffle by vectorized
+        permutation WITHIN each chunk
         (a chunk-sized window — strictly wider than the reference's
         256-sample window shuffle, DeepFM.py:88), and yield zero-copy
         batch VIEWS. Only the per-chunk boundary batch concatenates
@@ -242,8 +309,7 @@ class LibsvmDataset:
         dominant cost of the naive formulation). ~10x the per-line path."""
         B = self.batch_size
         pend = None  # (ids, vals, labels) remainder rows (< B)
-        chunk_bytes = max(self.read_chunk_bytes, 16 << 20)
-        for ids, vals, labels in self._iter_parsed_chunks(chunk_bytes):
+        for ids, vals, labels in chunks:
             if self.perform_shuffle and len(labels) > 1:
                 perm = self._nprng.permutation(len(labels))
                 # mode="clip" selects numpy's unchecked fast gather —

@@ -343,7 +343,8 @@ class Harness:
             # the parallel-parse pool of the native loader
             workers = max(1, min(cfg.num_threads, (os.cpu_count() or 4) - 1))
             ds = LibsvmDataset(
-                files, field_size=cfg.field_size, parse_workers=workers, **common
+                files, field_size=cfg.field_size, parse_workers=workers,
+                packed_cache=cfg.packed_cache, **common
             )
         if split == "tr" and self._sparse_slots is not None:
             # dedup + remap on the host, pipelined with TPU compute by the
