@@ -496,9 +496,15 @@ def test_two_process_sigterm_one_host_stops_both(tmp_path):
         )
         for pid in range(2)
     ]
-    # wait until training is demonstrably under way (checkpointless probe:
-    # worker logs land in pipes, so just give bring-up generous time)
-    T.sleep(45)
+    # wait until training is demonstrably under way: process 0 writes its
+    # first metrics.jsonl line at the first log/eval boundary (model_dir
+    # resolves to "<model_dir><dt_dir>" — reference += semantics)
+    metrics = tmp_path / "modeldist" / "metrics.jsonl"
+    deadline = T.time() + 150
+    while T.time() < deadline:
+        if metrics.exists() and metrics.stat().st_size > 0:
+            break
+        T.sleep(0.25)
     procs[1].send_signal(signal.SIGTERM)
     outs = []
     for pid, p in enumerate(procs):

@@ -189,14 +189,17 @@ def test_graceful_sigterm_checkpoints_and_resumes(tmp_path):
         [sys.executable, str(script), str(data), str(tmp_path / "model"), "2000"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
     )
-    # wait for training to actually produce steps, then preempt
+    # wait for training to actually produce steps, then preempt.
+    # model_dir resolves to "<model_dir><dt_dir>" (reference semantics:
+    # model_dir += dt_dir, DeepFM.py:286-288) and the first metrics line
+    # lands at the first log boundary (step 20 here) — a positive signal
+    # that the loop is past compile and producing steps
+    metrics = tmp_path / "modelg" / "metrics.jsonl"
     deadline = T.time() + 120
     while T.time() < deadline:
-        T.sleep(1.0)
-        mdir = tmp_path / "model" / "g"
-        if mdir.exists():
-            T.sleep(3.0)  # past compile, into the loop
+        if metrics.exists() and metrics.stat().st_size > 0:
             break
+        T.sleep(0.25)
     p.send_signal(signal.SIGTERM)
     out, err = p.communicate(timeout=120)
     assert p.returncode == 0, f"not a clean exit:\\n{err[-2000:]}"
