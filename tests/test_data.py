@@ -377,3 +377,42 @@ def test_packed_cache_builds_hits_and_invalidates(tmp_path):
     after = collect(packed_cache=True)
     assert int(sum(b["mask"].sum() for b in after)) == 12
     assert json.loads(meta.read_text())["rows"] == 12
+
+
+def test_packed_cache_aliccp_matches_text_path(tmp_path):
+    """Ali-CCP packed cache: build + hit yield the same example multiset
+    and the same batch contract as the per-line text path."""
+    from tf_repos_tpu.data.ragged import AliccpDataset
+    from tf_repos_tpu.data.synthetic import write_synthetic_aliccp
+
+    path = str(tmp_path / "tr.txt")
+    write_synthetic_aliccp(path, 37, 5000)
+
+    def collect(**kw):
+        return list(
+            AliccpDataset([path], batch_size=10, num_epochs=1, multi_hot_pad=8, **kw)
+        )
+
+    plain = collect()
+    built = collect(packed_cache=True)
+    assert (tmp_path / ".packed_cache" / "tr.txt.p8.meta.json").exists()
+    cached = collect(packed_cache=True)
+    assert len(plain) == len(built) == len(cached) == 4
+    for a, b, c in zip(plain, built, cached):
+        assert set(a) == set(b) == set(c)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+            np.testing.assert_array_equal(a[k], c[k])
+    assert plain[-1]["mask"].sum() == 7  # partial-batch padding preserved
+
+    # shuffle + 2 epochs on the cache hit preserves the example multiset
+    seen = []
+    for b in AliccpDataset(
+        [path], batch_size=5, num_epochs=2, multi_hot_pad=8,
+        perform_shuffle=True, seed=11, packed_cache=True,
+    ):
+        seen.extend(np.asarray(b["feat_ids"])[b["mask"] > 0, 0].tolist())
+    ref = []
+    for b in plain:
+        ref.extend(np.asarray(b["feat_ids"])[b["mask"] > 0, 0].tolist())
+    assert sorted(seen) == sorted(ref * 2)

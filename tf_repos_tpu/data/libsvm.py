@@ -278,21 +278,23 @@ class LibsvmDataset:
         sidecar to disk for every later epoch/run (data/cache.py)."""
         from tf_repos_tpu.data.cache import PackedCache, PackedCacheWriter
 
+        tag = f"f{self.field_size}"
         chunk_bytes = max(self.read_chunk_bytes, 16 << 20)
         for _ in range(self.num_epochs):
             files = list(self.filenames)
             if self.perform_shuffle:
                 self.rng.shuffle(files)
             for path in files:
-                cached = PackedCache.open(path, self.field_size)
+                cached = PackedCache.open(path, tag)
                 if cached is not None:
-                    yield from cached.iter_chunks(rows_per_chunk)
+                    for c in cached.iter_chunks(rows_per_chunk):
+                        yield c["ids"], c["vals"], c["labels"]
                     continue
-                writer = PackedCacheWriter(path, self.field_size)
+                writer = PackedCacheWriter(path, tag)
                 try:
-                    for chunk in self._parse_file_chunks(path, chunk_bytes):
-                        writer.append(*chunk)
-                        yield chunk
+                    for ids, vals, labels in self._parse_file_chunks(path, chunk_bytes):
+                        writer.append({"ids": ids, "vals": vals, "labels": labels})
+                        yield ids, vals, labels
                 except BaseException:
                     writer.abort()
                     raise

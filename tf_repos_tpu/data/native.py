@@ -154,11 +154,35 @@ def parse_libsvm_lines(
     return ids, vals, labels
 
 
+def parse_aliccp_blob(blob: bytes, multi_hot_pad: int):
+    """Parse a whole line-aligned aliccp blob in C++ (split + parse)."""
+    lib = _load()
+    cap = blob.count(b"\n") + 1
+    offsets = np.empty((cap + 1,), np.int64)
+    n = lib.split_lines(
+        blob, len(blob), offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap
+    )
+    return _parse_aliccp_core(lib, blob, offsets, int(n), multi_hot_pad)
+
+
 def parse_aliccp_lines(lines: Sequence[bytes], multi_hot_pad: int):
     """Same batch contract as data/ragged.parse_aliccp_lines, C++-parsed."""
     lib = _load()
     n = len(lines)
-    p = multi_hot_pad
+    if n:
+        offsets = np.empty((n + 1,), np.int64)
+        pos = 0
+        for i, ln in enumerate(lines):
+            offsets[i] = pos
+            pos += len(ln) + 1
+        offsets[n] = pos
+        blob = b"\n".join(lines) + b"\n"
+    else:
+        offsets, blob = np.zeros((1,), np.int64), b""
+    return _parse_aliccp_core(lib, blob, offsets, n, multi_hot_pad)
+
+
+def _parse_aliccp_core(lib, blob: bytes, offsets: np.ndarray, n: int, p: int):
     y = np.zeros((n,), np.float32)
     z = np.zeros((n,), np.float32)
     mask = np.zeros((n,), np.float32)
@@ -168,13 +192,6 @@ def parse_aliccp_lines(lines: Sequence[bytes], multi_hot_pad: int):
     a_scalar = np.zeros((n, 3), np.int32)
     a_int = np.zeros((n, p), np.int32)
     if n:
-        offsets = np.empty((n + 1,), np.int64)
-        pos = 0
-        for i, ln in enumerate(lines):
-            offsets[i] = pos
-            pos += len(ln) + 1
-        offsets[n] = pos
-        blob = b"\n".join(lines) + b"\n"
         lib.parse_aliccp(
             blob,
             len(blob),

@@ -149,6 +149,7 @@ class AliccpDataset:
         multi_hot_pad: int = 64,
         drop_remainder: bool = False,
         seed: Optional[int] = None,
+        packed_cache: bool = False,
     ):
         from tf_repos_tpu.data.libsvm import LibsvmDataset
 
@@ -165,19 +166,30 @@ class AliccpDataset:
         )
         self.batch_size = batch_size
         self.drop_remainder = drop_remainder
+        self.packed_cache = packed_cache
         if multi_hot_pad <= 0:
             multi_hot_pad = auto_multi_hot_pad(filenames)
         self.multi_hot_pad = multi_hot_pad
 
-    def __iter__(self) -> Iterator[Batch]:
-        parse = parse_aliccp_lines
+    def _native(self):
         try:  # C++ fast path (~15x; data/native_src/aliccp_parser.cpp)
             from tf_repos_tpu.data import native
 
             if native.available():
-                parse = native.parse_aliccp_lines
+                return native
         except Exception:
             pass
+        return None
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self.packed_cache:
+            # parse once -> packed sidecar arrays, memmap on every later
+            # epoch/run (data/cache.py); chunk-window shuffle like the
+            # libsvm array path
+            yield from self._iter_dict_batches(self._iter_cached_chunks())
+            return
+        native = self._native()
+        parse = native.parse_aliccp_lines if native else parse_aliccp_lines
         pending: List[bytes] = []
         for ln in self._inner._iter_shuffled_lines():
             pending.append(ln)
@@ -191,3 +203,104 @@ class AliccpDataset:
                 k: np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
                 for k, v in batch.items()
             }
+
+    # -------------------------------------------------- packed-cache path
+    def _parse_file_chunks(self, path: str, chunk_bytes: int = 16 << 20):
+        """In-order parsed dict-chunks of ONE file (native blob parse with
+        a small thread pool when available, python lines otherwise); the
+        'label' alias is dropped — it is re-established per batch."""
+        native = self._native()
+        if native is None:
+            for blob in self._inner._blobs_for_file(path, chunk_bytes):
+                lines = [ln for ln in blob.split(b"\n") if ln.strip()]
+                d = dict(parse_aliccp_lines(lines, self.multi_hot_pad))
+                d.pop("label", None)
+                yield d
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        def parse(blob):
+            d = dict(native.parse_aliccp_blob(blob, self.multi_hot_pad))
+            d.pop("label", None)
+            return d
+
+        with ThreadPoolExecutor(2) as ex:
+            futs: collections.deque = collections.deque()
+            for blob in self._inner._blobs_for_file(path, chunk_bytes):
+                futs.append(ex.submit(parse, blob))
+                while len(futs) > 2:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
+
+    def _iter_cached_chunks(self, rows_per_chunk: int = 65536):
+        from tf_repos_tpu.data.cache import PackedCache, PackedCacheWriter
+
+        tag = f"p{self.multi_hot_pad}"
+        inner = self._inner
+        for _ in range(inner.num_epochs):
+            files = list(inner.filenames)
+            if inner.perform_shuffle:
+                inner.rng.shuffle(files)
+            for path in files:
+                cached = PackedCache.open(path, tag)
+                if cached is not None:
+                    yield from cached.iter_chunks(rows_per_chunk)
+                    continue
+                writer = PackedCacheWriter(path, tag)
+                try:
+                    for d in self._parse_file_chunks(path):
+                        writer.append(d)
+                        yield d
+                except BaseException:
+                    writer.abort()
+                    raise
+                writer.commit()
+
+    def _iter_dict_batches(self, chunks) -> Iterator[Batch]:
+        """Assemble fixed-shape batches from dict-chunks: per-chunk
+        shuffle permutation, remainder carried across chunk/file
+        boundaries, final partial batch zero-padded (padding rows have
+        mask 0 — same contract as the per-line path)."""
+        B = self.batch_size
+        inner = self._inner
+        pend: Optional[Batch] = None
+
+        def emit(d: Batch) -> Batch:
+            d = dict(d)
+            d["label"] = d["y"]
+            return d
+
+        for d in chunks:
+            n = len(d["y"])
+            if inner.perform_shuffle and n > 1:
+                perm = inner._nprng.permutation(n)
+                d = {k: np.take(v, perm, axis=0, mode="clip") for k, v in d.items()}
+            start = 0
+            if pend is not None and len(pend["y"]):
+                take = min(B - len(pend["y"]), n)
+                merged = {
+                    k: np.concatenate([pend[k], d[k][:take]]) for k in d
+                }
+                start = take
+                pend = None
+                if len(merged["y"]) == B:
+                    yield emit(merged)
+                else:  # chunk smaller than one batch — keep accumulating
+                    pend = merged
+                    continue
+            n_full = (n - start) // B
+            for i in range(n_full):
+                s = slice(start + i * B, start + (i + 1) * B)
+                yield emit({k: v[s] for k, v in d.items()})
+            rest = slice(start + n_full * B, None)
+            pend = {k: v[rest] for k, v in d.items()}
+        if pend is not None and len(pend["y"]) and not self.drop_remainder:
+            pad = B - len(pend["y"])
+            yield emit(
+                {
+                    k: np.pad(np.asarray(v), [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+                    for k, v in pend.items()
+                }
+            )

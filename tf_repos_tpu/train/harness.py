@@ -337,7 +337,10 @@ class Harness:
         if fmt == "csv":
             ds: Iterable = CsvDataset(files, **common)
         elif fmt == "aliccp":
-            ds = AliccpDataset(files, multi_hot_pad=cfg.multi_hot_pad, **common)
+            ds = AliccpDataset(
+                files, multi_hot_pad=cfg.multi_hot_pad,
+                packed_cache=cfg.packed_cache, **common
+            )
         else:
             # --num_threads (reference resource flag, DeepFM.py:40) sizes
             # the parallel-parse pool of the native loader
