@@ -23,12 +23,14 @@ FEATURE_SIZE=$(echo "$info" | awk '{print $2}')
 python -m tf_repos_tpu.features.stats --input_glob "$OUT_DIR/tr.libsvm" --format libsvm | head -5
 
 # 3. train DeepFM with the reference's same-hyper settings
-#    (--field_blocks=auto enables the Pallas scatter where beneficial)
+#    (--packed_cache: parse the text once, memmap packed arrays on every
+#    later epoch/run; --static_fields=13 matches the preprocessor's
+#    constant-id continuous layout)
 python -m tf_repos_tpu.main --model=DeepFM --task_type=train \
     --feature_size="$FEATURE_SIZE" --field_size=39 --embedding_size=16 \
     --deep_layers=400,400,400 --dropout=0.5,0.5,0.5 \
     --batch_size=4096 --learning_rate=0.0005 --optimizer=Adam --l2_reg=0.0001 \
-    --num_epochs=1 --log_steps=100 \
+    --num_epochs=1 --log_steps=100 --packed_cache=True --static_fields=13 \
     --data_dir="$OUT_DIR" --model_dir="$MODEL_DIR" "$@"
 
 # 4. evaluate + export a servable
