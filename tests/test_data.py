@@ -416,3 +416,26 @@ def test_packed_cache_aliccp_matches_text_path(tmp_path):
     for b in plain:
         ref.extend(np.asarray(b["feat_ids"])[b["mask"] > 0, 0].tolist())
     assert sorted(seen) == sorted(ref * 2)
+
+
+def test_packed_cache_csv_matches_text_path(tmp_path):
+    """CSV packed cache: build + hit == the per-line text path."""
+    from tf_repos_tpu.data.csv import CsvDataset
+    from tf_repos_tpu.data.synthetic import write_synthetic_csv
+
+    path = str(tmp_path / "tr.csv")
+    write_synthetic_csv(path, 23, 400)
+
+    def collect(**kw):
+        return list(CsvDataset([path], batch_size=10, num_epochs=1, **kw))
+
+    plain = collect()
+    built = collect(packed_cache=True)
+    assert (tmp_path / ".packed_cache" / "tr.csv.csv40.meta.json").exists()
+    cached = collect(packed_cache=True)
+    assert len(plain) == len(built) == len(cached) == 3
+    for a, b, c in zip(plain, built, cached):
+        for k in ("cont", "cat", "label", "mask"):
+            np.testing.assert_array_equal(a[k], b[k])
+            np.testing.assert_array_equal(a[k], c[k])
+    assert plain[-1]["mask"].sum() == 3

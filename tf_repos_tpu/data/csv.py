@@ -53,6 +53,7 @@ class CsvDataset:
         shuffle_buffer: int = 256,
         drop_remainder: bool = False,
         seed: Optional[int] = None,
+        packed_cache: bool = False,
     ):
         from tf_repos_tpu.data.libsvm import LibsvmDataset
 
@@ -70,8 +71,23 @@ class CsvDataset:
         )
         self.batch_size = batch_size
         self.drop_remainder = drop_remainder
+        self.packed_cache = packed_cache
 
     def __iter__(self) -> Iterator[Batch]:
+        if self.packed_cache:
+            # parse once -> packed sidecar, memmap afterwards: the CSV
+            # parse is a per-line Python loop, by far the slowest reader
+            from tf_repos_tpu.data.pipeline import iter_dict_batches
+
+            yield from iter_dict_batches(
+                self._iter_cached_chunks(),
+                batch_size=self.batch_size,
+                row_key="label",
+                nprng=self._inner._nprng,
+                shuffle=self._inner.perform_shuffle,
+                drop_remainder=self.drop_remainder,
+            )
+            return
         pending: List[bytes] = []
         for ln in self._inner._iter_shuffled_lines():
             pending.append(ln)
@@ -84,3 +100,29 @@ class CsvDataset:
             yield {
                 k: np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1)) for k, v in batch.items()
             }
+
+    def _iter_cached_chunks(self, rows_per_chunk: int = 65536):
+        from tf_repos_tpu.data.cache import PackedCache, PackedCacheWriter
+
+        tag = "csv40"
+        inner = self._inner
+        for _ in range(inner.num_epochs):
+            files = list(inner.filenames)
+            if inner.perform_shuffle:
+                inner.rng.shuffle(files)
+            for path in files:
+                cached = PackedCache.open(path, tag)
+                if cached is not None:
+                    yield from cached.iter_chunks(rows_per_chunk)
+                    continue
+                writer = PackedCacheWriter(path, tag)
+                try:
+                    for blob in inner._blobs_for_file(path, 16 << 20):
+                        lines = [ln for ln in blob.split(b"\n") if ln.strip()]
+                        d = parse_csv_lines(lines)
+                        writer.append(d)
+                        yield d
+                except BaseException:
+                    writer.abort()
+                    raise
+                writer.commit()

@@ -156,3 +156,59 @@ def shard_files_for_host(
         )
         return list(files)
     return [f for i, f in enumerate(files) if i % process_count == process_index]
+
+
+def iter_dict_batches(
+    chunks,
+    *,
+    batch_size: int,
+    row_key: str,
+    nprng=None,
+    shuffle: bool = False,
+    drop_remainder: bool = False,
+    emit=None,
+):
+    """Assemble fixed-shape dict batches from dict-of-arrays chunks (all
+    values share the leading row axis, keyed by ``row_key`` for counting):
+    per-chunk shuffle permutation (a chunk-wide window — strictly wider
+    than the reference's 256-sample shuffle), remainder carried across
+    chunk/file boundaries, final partial batch zero-padded (zero padding
+    leaves mask rows 0 — the static-batch contract). ``emit`` optionally
+    post-processes each finished batch (e.g. re-adding alias keys dropped
+    from a packed cache)."""
+    import numpy as np
+
+    B = batch_size
+    emit = emit or (lambda d: d)
+    pend = None
+    for d in chunks:
+        n = len(d[row_key])
+        if shuffle and n > 1:
+            perm = nprng.permutation(n)
+            # mode="clip" selects numpy's unchecked fast gather path
+            d = {k: np.take(v, perm, axis=0, mode="clip") for k, v in d.items()}
+        start = 0
+        if pend is not None and len(pend[row_key]):
+            take = min(B - len(pend[row_key]), n)
+            merged = {k: np.concatenate([pend[k], d[k][:take]]) for k in d}
+            start = take
+            pend = None
+            if len(merged[row_key]) == B:
+                yield emit(merged)
+            else:  # chunk smaller than one batch — keep accumulating
+                pend = merged
+                continue
+        n_full = (n - start) // B
+        for i in range(n_full):
+            s = slice(start + i * B, start + (i + 1) * B)
+            yield emit({k: v[s] for k, v in d.items()})
+        rest = slice(start + n_full * B, None)
+        pend = {k: v[rest] for k, v in d.items()}
+    if pend is not None and len(pend[row_key]) and not drop_remainder:
+        pad = B - len(pend[row_key])
+        yield emit(
+            {
+                k: np.pad(np.asarray(v), [(0, pad)] + [(0, 0)] * (np.asarray(v).ndim - 1))
+                for k, v in pend.items()
+            }
+        )

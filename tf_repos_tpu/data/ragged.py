@@ -259,48 +259,19 @@ class AliccpDataset:
                 writer.commit()
 
     def _iter_dict_batches(self, chunks) -> Iterator[Batch]:
-        """Assemble fixed-shape batches from dict-chunks: per-chunk
-        shuffle permutation, remainder carried across chunk/file
-        boundaries, final partial batch zero-padded (padding rows have
-        mask 0 — same contract as the per-line path)."""
-        B = self.batch_size
-        inner = self._inner
-        pend: Optional[Batch] = None
+        from tf_repos_tpu.data.pipeline import iter_dict_batches
 
         def emit(d: Batch) -> Batch:
             d = dict(d)
-            d["label"] = d["y"]
+            d["label"] = d["y"]  # alias dropped from the packed cache
             return d
 
-        for d in chunks:
-            n = len(d["y"])
-            if inner.perform_shuffle and n > 1:
-                perm = inner._nprng.permutation(n)
-                d = {k: np.take(v, perm, axis=0, mode="clip") for k, v in d.items()}
-            start = 0
-            if pend is not None and len(pend["y"]):
-                take = min(B - len(pend["y"]), n)
-                merged = {
-                    k: np.concatenate([pend[k], d[k][:take]]) for k in d
-                }
-                start = take
-                pend = None
-                if len(merged["y"]) == B:
-                    yield emit(merged)
-                else:  # chunk smaller than one batch — keep accumulating
-                    pend = merged
-                    continue
-            n_full = (n - start) // B
-            for i in range(n_full):
-                s = slice(start + i * B, start + (i + 1) * B)
-                yield emit({k: v[s] for k, v in d.items()})
-            rest = slice(start + n_full * B, None)
-            pend = {k: v[rest] for k, v in d.items()}
-        if pend is not None and len(pend["y"]) and not self.drop_remainder:
-            pad = B - len(pend["y"])
-            yield emit(
-                {
-                    k: np.pad(np.asarray(v), [(0, pad)] + [(0, 0)] * (v.ndim - 1))
-                    for k, v in pend.items()
-                }
-            )
+        yield from iter_dict_batches(
+            chunks,
+            batch_size=self.batch_size,
+            row_key="y",
+            nprng=self._inner._nprng,
+            shuffle=self._inner.perform_shuffle,
+            drop_remainder=self.drop_remainder,
+            emit=emit,
+        )

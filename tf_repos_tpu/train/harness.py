@@ -335,7 +335,7 @@ class Harness:
             seed=cfg.seed,
         )
         if fmt == "csv":
-            ds: Iterable = CsvDataset(files, **common)
+            ds: Iterable = CsvDataset(files, packed_cache=cfg.packed_cache, **common)
         elif fmt == "aliccp":
             ds = AliccpDataset(
                 files, multi_hot_pad=cfg.multi_hot_pad,
