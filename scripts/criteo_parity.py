@@ -92,6 +92,8 @@ def run(a) -> dict:
             # the axon tunnel costs ~0.4-0.6s fixed per dispatch; scan
             # K steps per dispatch so small-batch runs aren't RPC-bound
             steps_per_dispatch=64 if batch <= 512 else 8,
+            # parse the multi-million-line surrogate once per work_dir
+            packed_cache=True,
         )
         t0 = time.time()
         m = run_task(cfg)

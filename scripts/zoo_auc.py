@@ -159,7 +159,7 @@ def main(argv=None):
             data_dir=csv_dir if wide else out,
             model_dir=os.path.join(a.work_dir, f"zoo_{name}"), dt_dir="z",
             eval_throttle_secs=0, clear_existing_model=True,
-            steps_per_dispatch=64,
+            steps_per_dispatch=64, packed_cache=True,
         )
         kw.update(hp)
         cfg = Config(**kw)
