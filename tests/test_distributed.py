@@ -71,6 +71,7 @@ HARNESS_WORKER = textwrap.dedent(
     sparse = len(sys.argv) > 4 and sys.argv[4] == "1"
     spd = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     epochs = int(sys.argv[6]) if len(sys.argv) > 6 else 3
+    cache = len(sys.argv) > 7 and sys.argv[7] == "1"
 
     from tf_repos_tpu.config import Config
     from tf_repos_tpu.train.harness import run_task
@@ -87,6 +88,7 @@ HARNESS_WORKER = textwrap.dedent(
         # 2 steps and host 0's verdict is broadcast (-1 = fire at every
         # boundary, clock-free determinism for the test)
         eval_throttle_secs=-1, eval_decision_steps=2,
+        packed_cache=cache,
     )
     metrics = run_task(cfg)
     print("DONE", metrics["step"])
@@ -273,8 +275,11 @@ def test_two_process_training_matches_single(tmp_path):
     np.testing.assert_allclose(ref, losses[0], rtol=1e-5)
 
 
-@pytest.mark.parametrize("sparse,spd", [("0", 1), ("1", 1), ("1", 2)])
-def test_two_process_midtrain_eval_no_deadlock(tmp_path, sparse, spd):
+@pytest.mark.parametrize(
+    "sparse,spd,cache",
+    [("0", 1, "0"), ("1", 1, "0"), ("1", 2, "0"), ("0", 1, "1")],
+)
+def test_two_process_midtrain_eval_no_deadlock(tmp_path, sparse, spd, cache):
     """Periodic eval fires MID-TRAIN under multi-process without deadlock:
     the throttle decision is taken at step boundaries and host 0's verdict
     is broadcast, so both hosts enter the collective eval program at the
@@ -302,7 +307,7 @@ def test_two_process_midtrain_eval_no_deadlock(tmp_path, sparse, spd):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), hosts, str(pid), str(tmp_path), sparse, str(spd)],
+            [sys.executable, str(script), hosts, str(pid), str(tmp_path), sparse, str(spd), "3", cache],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
         for pid in range(2)
