@@ -67,3 +67,22 @@ def teardown_module():
     # drop the small-probe calibration so other tests get the default
     CS._CAL = None
     CS._FIELDS = None
+
+
+def test_generate_raw_sharded_matches_distribution(tmp_path):
+    """--shards N: workers draw independent samples of the SAME
+    calibrated distribution (configure(total_lines) in each worker);
+    the concatenated file has the exact line count, the raw format, and
+    a CTR inside the calibrated band."""
+    out = str(tmp_path / "train.txt")
+    st = CS.generate_raw_sharded(out, 6_000, seed=0, shards=2, total_lines=6_000)
+    assert st["lines"] == 6_000
+    assert 0.15 < st["ctr"] < 0.40
+    lines = open(out).read().splitlines()
+    assert len(lines) == 6_000
+    for line in lines[:50] + lines[-50:]:
+        parts = line.split("\t")
+        assert len(parts) == 1 + NUM_CONTINUOUS + NUM_CATEGORICAL
+        assert parts[0] in ("0", "1")
+    # shard part files were cleaned up after concatenation
+    assert not any(p.name.startswith("train.txt.") for p in tmp_path.iterdir())

@@ -341,17 +341,78 @@ def bayes_ceiling(n_probe: int = 400_000, seed: int = 777) -> float:
     return (rank_sum - n_pos * (n_pos + 1) / 2) / max(n_pos * n_neg, 1.0)
 
 
+def _gen_shard(args) -> Dict[str, float]:
+    """Worker: calibrate for the FULL run size, then write one shard.
+
+    The distribution parameters (Zipf exponents, cutoff, label
+    calibration) depend on the TOTAL line count, not the shard size, so
+    every worker configures for `total_lines` and only the draw count
+    differs. Each shard gets its own seed -> shards are independent
+    samples of the same distribution and concatenation order is
+    irrelevant."""
+    path, n, seed, total_lines = args
+    configure(total_lines)
+    calibration()  # warm the (tau, b0) solve once per process
+    return generate_raw(path, n, seed)
+
+
+def generate_raw_sharded(
+    path: str, n_lines: int, seed: int, shards: int, total_lines: int | None = None
+) -> Dict[str, float]:
+    """Parallel generate_raw: `shards` worker processes each write
+    `path.<k>`, then the shards are concatenated into `path`. Single
+    shard falls back to the in-process writer. The generator is
+    string-assembly-bound (~3k lines/s/core), so wall clock scales with
+    workers until the cores run out."""
+    total = total_lines or n_lines
+    if shards <= 1:
+        configure(total)
+        return generate_raw(path, n_lines, seed)
+    import multiprocessing as mp
+
+    per = [n_lines // shards] * shards
+    per[-1] += n_lines - sum(per)
+    parts = [f"{path}.{k}" for k in range(shards)]
+    jobs = [
+        (parts[k], per[k], seed + 1000 * (k + 1), total) for k in range(shards)
+    ]
+    ctx = mp.get_context("spawn")  # no fork: keep JAX/XLA state out of workers
+    with ctx.Pool(shards) as pool:
+        stats = pool.map(_gen_shard, jobs)
+    with open(path, "wb") as out:
+        for p in parts:
+            with open(p, "rb") as f:
+                while True:
+                    buf = f.read(1 << 24)
+                    if not buf:
+                        break
+                    out.write(buf)
+            os.remove(p)
+    lines = sum(s["lines"] for s in stats)
+    pos = sum(s["ctr"] * s["lines"] for s in stats)
+    return {"lines": lines, "ctr": pos / max(lines, 1)}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out_dir", required=True)
     ap.add_argument("--train_lines", type=int, default=2_000_000)
     ap.add_argument("--test_lines", type=int, default=200_000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--shards", type=int, default=1)
     a = ap.parse_args(argv)
     os.makedirs(a.out_dir, exist_ok=True)
     configure(a.train_lines)
-    st = generate_raw(os.path.join(a.out_dir, "train.txt"), a.train_lines, a.seed)
-    generate_raw(os.path.join(a.out_dir, "test.txt"), a.test_lines, a.seed + 1)
+    st = generate_raw_sharded(
+        os.path.join(a.out_dir, "train.txt"), a.train_lines, a.seed, a.shards
+    )
+    generate_raw_sharded(
+        os.path.join(a.out_dir, "test.txt"),
+        a.test_lines,
+        a.seed + 1,
+        a.shards,
+        total_lines=a.train_lines,
+    )
     print(
         f"train.txt: {st['lines']:,} lines, ctr={st['ctr']:.4f}; "
         f"suggested cutoff for this size: {scaled_cutoff(a.train_lines)}; "
