@@ -86,3 +86,25 @@ def test_generate_raw_sharded_matches_distribution(tmp_path):
         assert parts[0] in ("0", "1")
     # shard part files were cleaned up after concatenation
     assert not any(p.name.startswith("train.txt.") for p in tmp_path.iterdir())
+
+
+def test_preprocess_workers_byte_identical(tmp_path):
+    """preprocess(workers=3) must produce byte-identical outputs to the
+    sequential path: pass-1 counts merge order-independently, and the
+    pass-2 emit fast-forwards the split rng to each chunk's starting
+    line index so the tr/va assignment is exactly the sequential one."""
+    CS.calibration(probe=50_000)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    CS.generate_raw(str(raw / "train.txt"), 12_000, seed=3)
+    CS.generate_raw(str(raw / "test.txt"), 3_000, seed=4)
+    out1, out3 = tmp_path / "p1", tmp_path / "p3"
+    s1 = preprocess(str(raw), str(out1), cutoff=2)
+    s3 = preprocess(str(raw), str(out3), cutoff=2, workers=3)
+    assert s1 == s3
+    for name in ("feature_map", "tr.libsvm", "va.libsvm", "te.libsvm"):
+        a = (out1 / name).read_bytes()
+        b = (out3 / name).read_bytes()
+        assert a == b, f"{name} differs between workers=1 and workers=3"
+    # no stray part files
+    assert not any(".libsvm." in p.name for p in out3.iterdir())
