@@ -50,15 +50,21 @@ def run(a) -> dict:
     t0 = time.time()
     raw_train = os.path.join(data, "train.txt")
     if not os.path.exists(raw_train):
-        st = CS.generate_raw(raw_train, a.train_lines, seed=0)
-        CS.generate_raw(os.path.join(data, "test.txt"), a.test_lines, seed=1)
+        st = CS.generate_raw_sharded(
+            raw_train, a.train_lines, seed=0, shards=a.shards,
+            total_lines=a.train_lines,
+        )
+        CS.generate_raw_sharded(
+            os.path.join(data, "test.txt"), a.test_lines, seed=1,
+            shards=a.shards, total_lines=a.train_lines,
+        )
         results["ctr"] = st["ctr"]
     print(f"[gen] {time.time() - t0:.0f}s")
 
     cutoff = CS.scaled_cutoff(a.train_lines)
     t0 = time.time()
     if not os.path.exists(os.path.join(out, "feature_map")):
-        stats = preprocess(data, out, cutoff=cutoff)
+        stats = preprocess(data, out, cutoff=cutoff, workers=a.workers)
     else:
         fm = sum(1 for _ in open(os.path.join(out, "feature_map")))
         stats = {"feature_size": fm, "field_size": 39}
@@ -91,7 +97,7 @@ def run(a) -> dict:
             cross_layers=3,
             # the axon tunnel costs ~0.4-0.6s fixed per dispatch; scan
             # K steps per dispatch so small-batch runs aren't RPC-bound
-            steps_per_dispatch=64 if batch <= 512 else 8,
+            steps_per_dispatch=256 if batch <= 512 else 8,
             # parse the multi-million-line surrogate once per work_dir
             packed_cache=True,
         )
@@ -102,15 +108,25 @@ def run(a) -> dict:
             "model": model, "lr": lr, "batch": batch, "epochs": epochs,
             "auc": round(m["auc"], 4), "loss": round(m["loss"], 5),
             "pct_of_ceiling": round(100.0 * m["auc"] / ceiling, 2),
-            "wall_s": round(wall, 1),
+            "wall_s": round(wall, 1), "tag": tag,
         }
         print(f"[train] {rec}")
         return rec
 
+    cells = [c for c in a.cells.split(",") if c] if a.cells else None
     runs = []
     # the reference's published command line (deep_ctr/README.md:51)
-    runs.append(train_once("DeepFM", 5e-4, 256, 1, "ref_deepfm"))
-    if not a.quick:
+    if cells is None or "ref_deepfm" in cells:
+        runs.append(train_once("DeepFM", 5e-4, 256, 1, "ref_deepfm"))
+    if cells is not None:
+        if "ref_dcn" in cells:
+            runs.append(train_once("DCN", 5e-4, 256, 1, "ref_dcn"))
+        if "b4096" in cells:
+            # the sync big-batch recipe that matched ref256 at 10M lines
+            # (CRITEO_PARITY.md): scaled LR + heavier dropout, 2 epochs
+            a.dropout = "0.8,0.8,0.8"
+            runs.append(train_once("DeepFM", 2e-3, 4096, a.sweep_epochs, "b4096"))
+    elif not a.quick:
         runs.append(train_once("DCN", 5e-4, 256, 1, "ref_dcn"))
         # async-PS -> sync-SPMD delta study: LR x batch sweep
         for batch in (4096, 16384):
@@ -140,10 +156,7 @@ def run(a) -> dict:
             model=last["model"], feature_size=feature_size, field_size=39,
             embedding_size=a.embedding_size, deep_layers=a.deep_layers,
             dropout=a.dropout, batch_size=4096, optimizer="Adam",
-            data_dir=out, model_dir=os.path.join(
-                work, f"model_s{last['batch']}_{last['lr']}"
-                if len(runs) > 1 else "model_ref_deepfm"
-            ),
+            data_dir=out, model_dir=os.path.join(work, f"model_{last['tag']}"),
             dt_dir="p", cross_layers=3,
         )
         h = Harness(cfg)
@@ -224,12 +237,26 @@ def main(argv=None):
     ap.add_argument("--l2_reg", type=float, default=1e-5)
     ap.add_argument("--sweep_epochs", type=int, default=2)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--shards", type=int, default=1, help="gen worker processes")
+    ap.add_argument("--workers", type=int, default=1, help="preprocess workers")
+    ap.add_argument(
+        "--cells", default="",
+        help="comma list from {ref_deepfm,ref_dcn,b4096}: run only these "
+        "training cells (the full sweep is too expensive at 45.84M lines)",
+    )
     a = ap.parse_args(argv)
     results = run(a)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "CRITEO_PARITY.json"), "w") as f:
-        json.dump(results, f, indent=1)
-    write_report(results, os.path.join(repo, "CRITEO_PARITY.md"))
+    if a.cells:
+        # cell-mode (e.g. the 45.84M published-size run) appends evidence
+        # without clobbering the curated CRITEO_PARITY.md sweep report
+        tag = f"{a.train_lines // 1_000_000}M"
+        with open(os.path.join(repo, f"CRITEO_PARITY_{tag}.json"), "w") as f:
+            json.dump(results, f, indent=1)
+    else:
+        with open(os.path.join(repo, "CRITEO_PARITY.json"), "w") as f:
+            json.dump(results, f, indent=1)
+        write_report(results, os.path.join(repo, "CRITEO_PARITY.md"))
     print(json.dumps({k: v for k, v in results.items() if k != "runs"}))
 
 
