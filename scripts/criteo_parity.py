@@ -93,7 +93,10 @@ def run(a) -> dict:
             log_steps=1000 if batch <= 512 else 200, learning_rate=lr,
             l2_reg=a.l2_reg, optimizer="Adam", data_dir=out,
             model_dir=os.path.join(work, f"model_{tag}"), dt_dir="p",
-            eval_throttle_secs=0, clear_existing_model=True,
+            eval_throttle_secs=0, clear_existing_model=not a.resume,
+            # periodic saves let a tunnel-stall retry resume mid-epoch
+            # instead of redoing the whole published-size cell
+            save_checkpoints_steps=20_000 if a.resume else 0,
             cross_layers=3,
             # the axon tunnel costs ~0.4-0.6s fixed per dispatch; scan
             # K steps per dispatch so small-batch runs aren't RPC-bound
@@ -239,6 +242,15 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--shards", type=int, default=1, help="gen worker processes")
     ap.add_argument("--workers", type=int, default=1, help="preprocess workers")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="keep model_dir + periodic checkpoints so a retry after a "
+        "tunnel stall resumes the cell instead of restarting it. NOTE: "
+        "the data stream restarts from the top on resume (reference "
+        "Estimator semantics), so a resumed cell sees more than "
+        "num_epochs passes — don't use it for published-hyper cells "
+        "unless the deviation is documented",
+    )
     ap.add_argument(
         "--cells", default="",
         help="comma list from {ref_deepfm,ref_dcn,b4096}: run only these "
