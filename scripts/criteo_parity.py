@@ -49,7 +49,10 @@ def run(a) -> dict:
 
     t0 = time.time()
     raw_train = os.path.join(data, "train.txt")
-    if not os.path.exists(raw_train):
+    # done-markers, not file existence: a retry after a timeout/stall kill
+    # must not accept a partially written train.txt or proc dir
+    gen_done = os.path.join(data, ".gen_done")
+    if not os.path.exists(gen_done):
         st = CS.generate_raw_sharded(
             raw_train, a.train_lines, seed=0, shards=a.shards,
             total_lines=a.train_lines,
@@ -59,12 +62,18 @@ def run(a) -> dict:
             shards=a.shards, total_lines=a.train_lines,
         )
         results["ctr"] = st["ctr"]
+        with open(gen_done, "w") as f:
+            f.write(json.dumps(st))
     print(f"[gen] {time.time() - t0:.0f}s")
 
     cutoff = CS.scaled_cutoff(a.train_lines)
     t0 = time.time()
-    if not os.path.exists(os.path.join(out, "feature_map")):
+    proc_done = os.path.join(out, ".proc_done")
+    if not os.path.exists(proc_done):
         stats = preprocess(data, out, cutoff=cutoff, workers=a.workers)
+        with open(proc_done, "w") as f:
+            f.write(json.dumps({k: v for k, v in stats.items()
+                                if isinstance(v, (int, float, str))}))
     else:
         fm = sum(1 for _ in open(os.path.join(out, "feature_map")))
         stats = {"feature_size": fm, "field_size": 39}
@@ -86,6 +95,17 @@ def run(a) -> dict:
 
     # ---- training grid
     def train_once(model: str, lr: float, batch: int, epochs: int, tag: str):
+        # per-cell memo: a tunnel-stall retry of a multi-cell invocation
+        # must skip cells that already finished — re-entering a completed
+        # cell with --resume would restore its final checkpoint and run
+        # ANOTHER full data pass (wrong epoch count for published-hyper
+        # cells, and hours wasted)
+        memo = os.path.join(work, f"result_{tag}.json")
+        if os.path.exists(memo):
+            with open(memo) as f:
+                rec = json.load(f)
+            print(f"[train] memo hit: {rec}")
+            return rec
         cfg = Config(
             model=model, feature_size=feature_size, field_size=39,
             embedding_size=a.embedding_size, deep_layers=a.deep_layers,
@@ -114,6 +134,8 @@ def run(a) -> dict:
             "wall_s": round(wall, 1), "tag": tag,
         }
         print(f"[train] {rec}")
+        with open(memo, "w") as f:
+            json.dump(rec, f)
         return rec
 
     cells = [c for c in a.cells.split(",") if c] if a.cells else None
