@@ -1,0 +1,91 @@
+"""End-to-end headline measurement: the FULL CLI harness at the headline
+operating point (DeepFM, B=16384, --packed_cache, bf16 towers,
+static_fields=13) over a multi-million-line surrogate — loader + host
+batching + device step + logging + checkpointing, not just the device
+step (bench.py measures that at ~1.6M ex/s).
+
+Two numbers come out, matching PERF.md's input-pipeline story:
+  - cold epoch (cache build): parse-bound
+  - warm epoch (memmap cache hit): device-bound
+Sustained rate = median of the per-log-window examples_per_sec entries
+in metrics.jsonl (the first windows carry compile + cache-build cost).
+
+    python scripts/bench_e2e.py --data_dir /tmp/criteo45m/proc \
+        --feature_size <N> [--epochs 1]
+
+Writes one JSON line; reference analog: the reference never publishes a
+training throughput (its only per-example number is the 0.5256
+ms/example serving forward, deep_ctr/README.md:78-81).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--feature_size", type=int, required=True)
+    ap.add_argument("--model_dir", default="/tmp/bench_e2e_model")
+    ap.add_argument("--batch_size", type=int, default=16384)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--steps_per_dispatch", type=int, default=8)
+    a = ap.parse_args(argv)
+
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.train.harness import run_task
+
+    cfg = Config(
+        model="DeepFM", feature_size=a.feature_size, field_size=39,
+        embedding_size=16, deep_layers="256,128,64", dropout="0.9,0.9,0.9",
+        batch_size=a.batch_size, num_epochs=a.epochs, log_steps=50,
+        learning_rate=2e-3, l2_reg=1e-5, optimizer="Adam",
+        data_dir=a.data_dir, model_dir=a.model_dir, dt_dir="e2e",
+        eval_throttle_secs=0, clear_existing_model=True,
+        compute_dtype="bfloat16", static_fields=13,
+        steps_per_dispatch=a.steps_per_dispatch, packed_cache=True,
+    )
+    t0 = time.time()
+    m = run_task(cfg)
+    wall = time.time() - t0
+
+    rates = []
+    mdir = cfg.resolved_model_dir if hasattr(cfg, "resolved_model_dir") else None
+    # metrics.jsonl lives in the resolved model dir (model_dir + dt_dir)
+    import glob as g
+
+    for path in g.glob(os.path.join(a.model_dir + "*", "metrics.jsonl")) + g.glob(
+        os.path.join(a.model_dir, "**", "metrics.jsonl"), recursive=True
+    ):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if "examples_per_sec" in rec:
+                    rates.append(rec["examples_per_sec"])
+    out = {
+        "metric": "deepfm_criteo_e2e_cli_examples_per_sec",
+        "value": round(statistics.median(rates), 1) if rates else None,
+        "unit": "examples/sec",
+        "windows": len(rates),
+        "p90": round(sorted(rates)[int(0.9 * (len(rates) - 1))], 1) if rates else None,
+        "wall_s": round(wall, 1),
+        "auc": round(m.get("auc", float("nan")), 4),
+        "batch": a.batch_size,
+        "epochs": a.epochs,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
