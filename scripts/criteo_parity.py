@@ -151,6 +151,16 @@ def run(a) -> dict:
             # (CRITEO_PARITY.md): scaled LR + heavier dropout, 2 epochs
             a.dropout = "0.8,0.8,0.8"
             runs.append(train_once("DeepFM", 2e-3, 4096, a.sweep_epochs, "b4096"))
+        # residual-root-cause diagnostics (published-size point plateaus
+        # at ~98.85% of ceiling): e6 tests undertraining (3x the epochs),
+        # emb32 tests capacity (2x the embedding width)
+        if "b4096e6" in cells:
+            a.dropout = "0.8,0.8,0.8"
+            runs.append(train_once("DeepFM", 2e-3, 4096, 6, "b4096e6"))
+        if "emb32" in cells:
+            a.dropout = "0.8,0.8,0.8"
+            a.embedding_size = 32
+            runs.append(train_once("DeepFM", 2e-3, 4096, 2, "emb32"))
     elif not a.quick:
         runs.append(train_once("DCN", 5e-4, 256, 1, "ref_dcn"))
         # async-PS -> sync-SPMD delta study: LR x batch sweep
