@@ -186,6 +186,7 @@ def headline(id_dist: str = "zipf", n_steps: int = 30):
         ("dense_static", 13, False),
         ("sparse", 0, True),
         ("sparse_static", 13, True),
+        ("sparse_static_pallas", 13, "pallas"),
     ):
         cfg = Config(
             model="DeepFM", feature_size=V, field_size=39, embedding_size=16,
@@ -199,7 +200,12 @@ def headline(id_dist: str = "zipf", n_steps: int = 30):
         if sparse:
             sopt = SP.make_sparse_row_optimizer(cfg.optimizer, cfg.learning_rate)
             opt_state = SP.init_opt_state(model, tx, sopt, params)
-            step = SP.build_sparse_train_step(model, tx, sopt)
+            lookup = None
+            if sparse == "pallas":
+                from tf_repos_tpu.ops.pallas_sparse import make_vmem_expand_lookup
+
+                lookup = make_vmem_expand_lookup()
+            step = SP.build_sparse_train_step(model, tx, sopt, lookup=lookup)
             mapper = SparseBatchMapper(model.sparse_slots())
             dev = [jax.tree.map(jnp.asarray, mapper(b)) for b in raw]
         else:

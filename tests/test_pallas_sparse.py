@@ -1,0 +1,151 @@
+"""Correctness of the VMEM expand/accumulate kernels (interpret mode on
+the CPU rig; the same code path compiles via Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_repos_tpu.ops import pallas_sparse as PS
+
+
+@pytest.mark.parametrize("n,s,k", [(1000, 64, 17), (8192, 512, 16), (300, 40, 5)])
+def test_expand_matches_xla(n, s, k):
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((s, k)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, s, size=(n,)), jnp.int32)
+    got = PS.expand_rows(table, idx, chunk=256, unroll=8)
+    want = PS.expand_reference(table, idx)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("n,s,k", [(1000, 64, 17), (4096, 512, 16)])
+def test_accumulate_matches_xla(n, s, k):
+    rng = np.random.default_rng(1)
+    g = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    # heavy duplication (Zipf-ish) to exercise read-modify-write ordering
+    idx = jnp.asarray(
+        np.minimum(rng.zipf(1.3, size=(n,)) - 1, s - 1), jnp.int32
+    )
+    got = PS.accumulate_rows(g, idx, s, chunk=256, unroll=8)
+    want = PS.accumulate_reference(g, idx, s)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_accumulate_duplicates_in_one_unroll_group():
+    # all indices identical: every += in every unrolled group hits the
+    # same row — the strictest ordering case
+    n, s, k = 512, 16, 8
+    g = jnp.ones((n, k), jnp.float32)
+    idx = jnp.full((n,), 3, jnp.int32)
+    got = PS.accumulate_rows(g, idx, s, chunk=128, unroll=8)
+    assert float(got[3, 0]) == n
+    assert float(jnp.sum(got)) == n * k
+
+
+def test_expand_pad_tail():
+    # N not a multiple of chunk: tail is padded internally, sliced away
+    table = jnp.arange(40, dtype=jnp.float32).reshape(8, 5)
+    idx = jnp.asarray([7, 0, 3], jnp.int32)
+    got = PS.expand_rows(table, idx, chunk=256, unroll=8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(table[idx]))
+
+
+def test_lookup_custom_vjp_grads():
+    rng = np.random.default_rng(2)
+    s, k, b, f = 64, 9, 32, 7
+    rows = jnp.asarray(rng.standard_normal((s, k)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, s, size=(b, f)), jnp.int32)
+    lookup = PS.make_vmem_expand_lookup(chunk=128, unroll=8)
+    assert lookup.static_slice_ok
+
+    w = jnp.asarray(rng.standard_normal((f, k)), jnp.float32)
+
+    def loss_pl(rows):
+        return jnp.sum(lookup(rows, ids) * w)
+
+    def loss_xla(rows):
+        return jnp.sum(rows[ids] * w)
+
+    v_pl, g_pl = jax.value_and_grad(loss_pl)(rows)
+    v_xla, g_xla = jax.value_and_grad(loss_xla)(rows)
+    np.testing.assert_allclose(float(v_pl), float(v_xla), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_xla), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_lookup_cap_falls_back_to_xla():
+    # rows above the VMEM capacity rule silently keep XLA's gather —
+    # same values, same grads (the dense path / oversized pow2 buckets)
+    lookup = PS.make_vmem_expand_lookup()
+    rng = np.random.default_rng(3)
+    rows = jnp.asarray(
+        rng.standard_normal((PS.VMEM_ROW_CAP + 8, 4)), jnp.float32
+    )
+    ids = jnp.asarray(rng.integers(0, rows.shape[0], size=(16,)), jnp.int32)
+
+    def loss(r):
+        return jnp.sum(lookup(r, ids) ** 2)
+
+    v, g = jax.value_and_grad(loss)(rows)
+    v2, g2 = jax.value_and_grad(lambda r: jnp.sum(r[ids] ** 2))(rows)
+    np.testing.assert_allclose(float(v), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-6)
+
+
+def test_sparse_step_with_pallas_expand_matches_plain():
+    # one full sparse train step: --pallas_expand routing vs the XLA
+    # inner lookup — identical trajectories to float tolerance
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.sparse_batch import SparseBatchMapper
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.train.optimizers import make_optimizer
+    from tf_repos_tpu.train.sparse import (
+        build_sparse_train_step, init_opt_state, make_sparse_row_optimizer,
+    )
+
+    cfg = Config(
+        model="DeepFM", feature_size=512, field_size=8, embedding_size=4,
+        deep_layers="16,8", dropout="1.0,1.0", batch_size=32,
+        optimizer="Adam", learning_rate=1e-3, l2_reg=1e-5,
+        sparse_table_update=True,
+    )
+    model = create_model(cfg)
+    rng = np.random.default_rng(4)
+    key = jax.random.PRNGKey(0)
+    params, mstate = model.init(key)
+    tx = make_optimizer("Adam", 1e-3)
+    sopt = make_sparse_row_optimizer("Adam", 1e-3)
+
+    batch = {
+        "feat_ids": jnp.asarray(
+            rng.integers(1, 512, size=(32, 8)), jnp.int32
+        ),
+        "feat_vals": jnp.ones((32, 8), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 2, size=(32,)), jnp.float32),
+        "mask": jnp.ones((32,), jnp.float32),
+    }
+    mapped = SparseBatchMapper(model.sparse_slots(), pad_mode="pow2")(
+        {k: np.asarray(v) for k, v in batch.items()}
+    )
+    mapped = {k: jnp.asarray(v) for k, v in mapped.items()}
+
+    def run(lookup):
+        # fresh buffers per run: the step donates params/opt/mstate
+        p0, m0 = model.init(key)
+        opt = init_opt_state(model, tx, sopt, p0)
+        step = build_sparse_train_step(model, tx, sopt, lookup=lookup)
+        p, o, m, loss = step(p0, opt, m0, mapped, jax.random.PRNGKey(7))
+        return float(loss), p
+
+    lookup = PS.make_vmem_expand_lookup(chunk=128, unroll=8)
+    l_pl, p_pl = run(lookup)
+    l_x, p_x = run(None)
+    np.testing.assert_allclose(l_pl, l_x, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p_pl["fm_wv"]), np.asarray(p_x["fm_wv"]),
+        rtol=1e-5, atol=1e-6,
+    )

@@ -74,7 +74,9 @@ class DeepFM(CtrModel):
         vals = batch["feat_vals"].reshape(-1, cfg.field_size)
 
         sf = cfg.static_fields
-        if sf > 0 and lookup is dense_lookup:
+        if sf > 0 and (
+            lookup is dense_lookup or getattr(lookup, "static_slice_ok", False)
+        ):
             # Criteo layout: fields 0..sf-1 carry constant ids 1..sf
             # (features/criteo.py emits continuous features that way), so
             # their rows come from a SLICE — no gather forward, no

@@ -1,0 +1,269 @@
+"""Pallas TPU kernels: VMEM-resident expand/accumulate for the dedup
+(sparse) embedding path.
+
+The sparse path (train/sparse.py) already reduces the HBM working set to
+S unique rows per step (host dedup, data/sparse_batch.py), but its two
+inner ops still pay XLA's random-row transaction rate (~12 ns/row on
+v5e, PERF.md "speed-of-light" table):
+
+  expand      rows[inv[i], :]            forward lookup of remapped ids
+  accumulate  d_rows[inv[i], :] += g[i]  its AD transpose (segment-sum)
+
+Both ops touch only the COMPACT [S, K] array (S ~ tens of KB rows at
+the headline point, ~1.6 MB of payload), yet XLA keeps it in HBM and
+issues one DMA descriptor per row — the per-ROW cost is identical to
+gathering from the full [V, K] table, which is why the sparse path
+measured only parity at 117k vocab (CLAUDE.md round-2 notes).
+
+These kernels exploit what XLA cannot: the compact array FITS IN VMEM.
+The table block is pinned in VMEM across the whole grid (constant index
+map), the remapped indices arrive in SMEM one 32 KB block per grid step
+(v5e SMEM is 1 MiB, so the full index array cannot scalar-prefetch),
+and each row move is a scalar-addressed VPU vector load/store — no DMA
+descriptor, no HBM transaction. The backward accumulate keeps the [S, K] f32
+accumulator VMEM-resident across all batch chunks and flushes it to HBM
+once.
+
+Measured (v5e, headline point: S_pad=32k, N=426k rows, K=17, f32 — see
+scripts/bench_pallas_sparse.py, unroll=16):
+
+    expand      1.55 ms (3.6 ns/row)  vs XLA standalone 1.60 ms (tie)
+    accumulate  3.28 ms (7.7 ns/row)  vs XLA standalone 7.38 ms (2.3x)
+
+Standalone, XLA's own gather from a VMEM-sized operand is already fast
+(the 12 ns/row figure is the [117k,17]-operand gather); the decisive
+number is END-TO-END, where XLA's in-graph scatter formulation inside
+the real training step does not reach its standalone small-operand
+speed. With the kernels tied into the sparse lookup via jax.custom_vjp
+(``make_vmem_expand_lookup``), gated by ``--pallas_expand`` +
+``--sparse_table_update`` (scripts/bench_sparse.py --headline, Zipf
+ids, B=16384, bf16 towers):
+
+    dense + static_fields (prior headline)   10.6 ms/step  1.54M ex/s
+    sparse + static, XLA inner ops           12.1 ms/step  1.36M ex/s
+    sparse + static, Pallas inner ops         7.2 ms/step  2.27M ex/s
+
+i.e. 1.47x over the dense headline. Under uniform ids (dedup 2.8x,
+S_pad 262k > cap) the lookup falls back to XLA at trace time and
+matches sparse_static exactly — the flag never regresses.
+
+Capacity rule: the f32 VMEM footprint of a [S, K<=128] block is
+S * 512 B (lane padding to 128), so S_pad <= VMEM_ROW_CAP keeps
+table + chunk buffers inside VMEM; the lookup falls back to the XLA
+ops above the cap at trace time (per pow2 bucket).
+
+Reference behavior being accelerated: the async-PS sparse push/pull of
+lambdaji/tf_repos (DeepCvrMTL.py:122, DeepMTL/README.md:43-45) — the
+reference never materializes dense [V,K] traffic either; this is the
+TPU-native equivalent of its row-granular parameter server.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# [S, K<=128] f32 rows cost 512 B each in VMEM (lane padding); 48k rows
+# = 24 MB table + ~8 MB chunk/output buffers fits v5e's VMEM with room
+# for Pallas's double-buffered pipeline. Above this, fall back to XLA.
+VMEM_ROW_CAP = 49_152
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _default_interpret() -> bool:
+    # Mosaic compiles only for TPU; interpret on the CPU test rig
+    return jax.default_backend() == "cpu"
+
+
+def _expand_kernel(idx_ref, table_ref, out_ref, *, chunk: int, unroll: int):
+    """out[c*chunk + r, :] = table[idx[c*chunk + r], :] for one chunk.
+
+    idx_ref is the chunk's index block, pipelined into SMEM by its
+    BlockSpec (v5e SMEM is 1 MiB — the FULL index array does not fit,
+    which rules out scalar prefetch; a 32 KB block does) so each row
+    index is a plain scalar-register read. table_ref is the whole
+    compact array, pinned in VMEM by its constant index map. The row
+    move is one vector load + one vector store at a dynamic sublane
+    address — the unrolled body gives Mosaic `unroll` independent
+    load/store pairs to schedule per loop iteration, amortizing the
+    loop carry."""
+
+    def body(j, carry):
+        r0 = j * unroll
+        for u in range(unroll):
+            r = r0 + u
+            i = idx_ref[r]
+            out_ref[pl.ds(r, 1), :] = table_ref[pl.ds(i, 1), :]
+        return carry
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+def _accumulate_kernel(idx_ref, g_ref, out_ref, *, chunk: int, unroll: int):
+    """out[idx[c*chunk + r], :] += g[c*chunk + r, :]; out is the [S, K]
+    f32 accumulator, VMEM-resident across ALL grid steps (constant index
+    map) and flushed to HBM once after the last chunk. Duplicate indices
+    inside an unrolled group are correct: each += is an ordered VMEM
+    read-modify-write on the same ref, which Mosaic may not reorder."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(j, carry):
+        r0 = j * unroll
+        for u in range(unroll):
+            r = r0 + u
+            i = idx_ref[r]
+            out_ref[pl.ds(i, 1), :] = (
+                out_ref[pl.ds(i, 1), :] + g_ref[pl.ds(r, 1), :]
+            )
+        return carry
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "unroll", "interpret")
+)
+def expand_rows(
+    table: jax.Array,  # [S, K] float
+    idx: jax.Array,  # [N] int32, values in [0, S)
+    chunk: int = 8192,
+    unroll: int = 16,
+    interpret: bool | None = None,
+) -> jax.Array:  # [N, K], table.dtype
+    """Pallas row expand: rows = table[idx]. See module docstring."""
+    if interpret is None:
+        interpret = _default_interpret()
+    S, K = table.shape
+    (N,) = idx.shape
+    Np = _round_up(N, chunk)
+    if Np != N:
+        idx = jnp.pad(idx, (0, Np - N))  # harmless extra reads of row 0
+
+    out = pl.pallas_call(
+        functools.partial(_expand_kernel, chunk=chunk, unroll=unroll),
+        grid=(Np // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, K), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk, K), lambda c: (c, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Np, K), table.dtype),
+        interpret=interpret,
+    )(idx, table)
+    return out[:N]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "chunk", "unroll", "interpret")
+)
+def accumulate_rows(
+    g: jax.Array,  # [N, K] float cotangent rows
+    idx: jax.Array,  # [N] int32, values in [0, s)
+    s: int,
+    chunk: int = 8192,
+    unroll: int = 16,
+    interpret: bool | None = None,
+) -> jax.Array:  # [s, K] float32
+    """Pallas segment accumulate: out[i] = sum over {r: idx[r] == i} of
+    g[r]. The AD transpose of expand_rows."""
+    if interpret is None:
+        interpret = _default_interpret()
+    (N, K) = g.shape
+    Np = _round_up(N, chunk)
+    if Np != N:
+        # padded rows add zeros into row 0 — harmless
+        idx = jnp.pad(idx, (0, Np - N))
+        g = jnp.pad(g, ((0, Np - N), (0, 0)))
+    g = g.astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_accumulate_kernel, chunk=chunk, unroll=unroll),
+        grid=(Np // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (chunk, K), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (s, K), lambda c: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, K), jnp.float32),
+        interpret=interpret,
+    )(idx, g)
+
+
+def expand_reference(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """XLA baseline for expand_rows (tests / fallback)."""
+    return jnp.take(table, idx, axis=0)
+
+
+def accumulate_reference(g: jax.Array, idx: jax.Array, s: int) -> jax.Array:
+    """XLA baseline for accumulate_rows (tests / fallback)."""
+    return (
+        jnp.zeros((s, g.shape[-1]), jnp.float32)
+        .at[idx]
+        .add(g.astype(jnp.float32))
+    )
+
+
+def fits_vmem(s_pad: int) -> bool:
+    return s_pad <= VMEM_ROW_CAP
+
+
+def make_vmem_expand_lookup(chunk: int = 8192, unroll: int = 16):
+    """lookup(rows, ids) for the sparse path's inner (remapped-id) lookup:
+    Pallas expand forward, Pallas accumulate backward. Drop-in for
+    ops.embedding.dense_lookup when the table argument is the compact
+    [S, K] gathered-rows array of train/sparse.py.
+
+    The VMEM capacity rule is applied at TRACE time per rows shape: the
+    pow2 uids buckets retrace per bucket anyway, so each bucket size
+    independently picks the kernel or the XLA fallback — a vocab-sized
+    table (dense path, or a bucket above VMEM_ROW_CAP) silently keeps
+    XLA's gather.
+
+    ids of any rank are flattened for the kernel and the result reshaped
+    to ids.shape + (K,), matching `table[ids]` semantics. The lookup is
+    marked ``static_slice_ok`` — like dense_lookup, the table argument
+    is positionally addressed, so models may serve static-id fields from
+    a slice (models/deepfm.py static_fields fast path)."""
+
+    @jax.custom_vjp
+    def pl_lookup(rows, ids):
+        flat = expand_rows(rows, ids.reshape(-1), chunk=chunk, unroll=unroll)
+        return flat.reshape(ids.shape + rows.shape[-1:])
+
+    def fwd(rows, ids):
+        return pl_lookup(rows, ids), (ids, rows.shape)
+
+    def bwd(res, ct):
+        ids, (s, k) = res
+        d_rows = accumulate_rows(
+            ct.reshape(-1, k), ids.reshape(-1), s, chunk=chunk, unroll=unroll
+        )
+        return d_rows.astype(jnp.float32), np.zeros(ids.shape, jax.dtypes.float0)
+
+    pl_lookup.defvjp(fwd, bwd)
+
+    def lookup(rows, ids):
+        if not fits_vmem(rows.shape[0]):
+            return rows[ids]
+        return pl_lookup(rows, ids)
+
+    lookup.static_slice_ok = True
+    return lookup

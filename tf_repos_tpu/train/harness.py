@@ -239,6 +239,16 @@ class Harness:
 
         return make_field_block_lookup(cfg.feature_size, offsets, sizes)
 
+    def _pallas_expand_lookup(self):
+        """Pallas VMEM expand/accumulate lookup when --pallas_expand is
+        set (single-chip sparse path; the sharded path keeps its
+        global-uids formulation)."""
+        if not self.cfg.pallas_expand or self.mesh is not None:
+            return None
+        from tf_repos_tpu.ops.pallas_sparse import make_vmem_expand_lookup
+
+        return make_vmem_expand_lookup()
+
     def _get_train_step(self):
         """Unified signature: (state_dict, placed_batch, rng) ->
         (state_dict, loss)."""
@@ -261,7 +271,10 @@ class Harness:
         elif self._sparse_slots is not None:
             from tf_repos_tpu.train.sparse import build_sparse_train_step
 
-            inner_sp = build_sparse_train_step(self.model, self.tx, self._sparse_opt())
+            inner_sp = build_sparse_train_step(
+                self.model, self.tx, self._sparse_opt(),
+                lookup=self._pallas_expand_lookup(),
+            )
 
             def sstep(state, batch, rng):
                 p, o, m, loss = inner_sp(
@@ -403,7 +416,8 @@ class Harness:
             from tf_repos_tpu.train.sparse import build_sparse_multi_train_step
 
             multi_step = build_sparse_multi_train_step(
-                self.model, self.tx, self._sparse_opt(), K
+                self.model, self.tx, self._sparse_opt(), K,
+                lookup=self._pallas_expand_lookup(),
             )
         elif K > 1:
             multi_step = L.build_multi_train_step(

@@ -302,7 +302,7 @@ def init_opt_state(
     }
 
 
-def _sparse_step_body(model, tx_dense, sopt, slot_names, params, opt_state, mstate, batch, rng):
+def _sparse_step_body(model, tx_dense, sopt, slot_names, params, opt_state, mstate, batch, rng, lookup=None):
     rng, sr_key = jax.random.split(rng)
     tables, rest = split_params(params, slot_names)
     u = {t: batch[UIDS_PREFIX + t] for t in slot_names}
@@ -310,10 +310,12 @@ def _sparse_step_body(model, tx_dense, sopt, slot_names, params, opt_state, msta
     # halve the gather bytes; the upcast fuses into the gather)
     rows = {t: take_rows_f32(tables[t], u[t]) for t in slot_names}
 
+    lookup_kw = {} if lookup is None else {"lookup": lookup}
+
     def loss_fn(rows, rest):
         p = dict(rest)
         p.update(rows)  # the model sees a small [S,K] "table"
-        return model.loss(p, mstate, batch, train=True, rng=rng)
+        return model.loss(p, mstate, batch, train=True, rng=rng, **lookup_kw)
 
     (loss, (_, new_mstate)), (g_rows, g_rest) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True
@@ -333,24 +335,29 @@ def _sparse_step_body(model, tx_dense, sopt, slot_names, params, opt_state, msta
 
 
 def build_sparse_train_step(
-    model, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt
+    model, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt,
+    lookup=None,
 ):
     """(params, opt_state, mstate, batch, rng) -> (params, opt_state,
     mstate, loss) — same contract as loop.build_train_step, but batches
     must have passed through data/sparse_batch.SparseBatchMapper (which
-    adds __uids_<table> and remaps the id fields)."""
+    adds __uids_<table> and remaps the id fields). ``lookup`` overrides
+    the model's inner (remapped-id) lookup — e.g. the Pallas VMEM expand
+    of ops/pallas_sparse.py."""
     slot_names = list(model.sparse_slots().keys())
 
     def step(params, opt_state, mstate, batch, rng):
         return _sparse_step_body(
-            model, tx_dense, sopt, slot_names, params, opt_state, mstate, batch, rng
+            model, tx_dense, sopt, slot_names, params, opt_state, mstate,
+            batch, rng, lookup=lookup,
         )
 
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
 def build_sparse_multi_train_step(
-    model, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt, k: int
+    model, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt, k: int,
+    lookup=None,
 ):
     """K sparse steps per dispatch via lax.scan (host-loop amortization,
     see loop.build_multi_train_step). stacked_batch fields (incl. the
@@ -361,7 +368,8 @@ def build_sparse_multi_train_step(
         params, opt_state, mstate = carry
         batch, sub = xs
         p, o, m, loss = _sparse_step_body(
-            model, tx_dense, sopt, slot_names, params, opt_state, mstate, batch, sub
+            model, tx_dense, sopt, slot_names, params, opt_state, mstate,
+            batch, sub, lookup=lookup,
         )
         return (p, o, m), loss
 
