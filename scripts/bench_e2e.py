@@ -38,6 +38,11 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=16384)
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--steps_per_dispatch", type=int, default=8)
+    ap.add_argument(
+        "--sparse", action="store_true",
+        help="sparse_table_update + pallas_expand (the 2.27M ex/s "
+        "device-step configuration; bench.py measures its device side)",
+    )
     a = ap.parse_args(argv)
 
     from tf_repos_tpu.config import Config
@@ -52,6 +57,7 @@ def main(argv=None):
         eval_throttle_secs=0, clear_existing_model=True,
         compute_dtype="bfloat16", static_fields=13,
         steps_per_dispatch=a.steps_per_dispatch, packed_cache=True,
+        sparse_table_update=a.sparse, pallas_expand=a.sparse,
     )
     t0 = time.time()
     m = run_task(cfg)

@@ -94,7 +94,8 @@ def run(a) -> dict:
     print(f"[ceiling] {ceiling:.4f}")
 
     # ---- training grid
-    def train_once(model: str, lr: float, batch: int, epochs: int, tag: str):
+    def train_once(model: str, lr: float, batch: int, epochs: int, tag: str,
+                   sparse: bool = False):
         # per-cell memo: a tunnel-stall retry of a multi-cell invocation
         # must skip cells that already finished — re-entering a completed
         # cell with --resume would restore its final checkpoint and run
@@ -123,6 +124,10 @@ def run(a) -> dict:
             steps_per_dispatch=256 if batch <= 512 else 8,
             # parse the multi-million-line surrogate once per work_dir
             packed_cache=True,
+            # b16384 cell: lazy sparse Adam + Pallas VMEM kernels + bf16
+            # towers (the 2.27M ex/s device configuration)
+            sparse_table_update=sparse, pallas_expand=sparse,
+            compute_dtype="bfloat16" if sparse else "float32",
         )
         t0 = time.time()
         m = run_task(cfg)
@@ -151,6 +156,16 @@ def run(a) -> dict:
             # (CRITEO_PARITY.md): scaled LR + heavier dropout, 2 epochs
             a.dropout = "0.8,0.8,0.8"
             runs.append(train_once("DeepFM", 2e-3, 4096, a.sweep_epochs, "b4096"))
+        if "b16384" in cells:
+            # the recipe that first crossed 99% of ceiling (found by
+            # scripts/bench_e2e.py --sparse): B=16384, scaled LR, LIGHT
+            # dropout, 1 epoch, lazy sparse Adam + Pallas VMEM kernels
+            # (the reference's async-PS update semantics, accelerated)
+            a.dropout = "0.9,0.9,0.9"
+            runs.append(train_once(
+                "DeepFM", 2e-3, 16384, 1, "b16384",
+                sparse=True,
+            ))
         # residual-root-cause diagnostics (published-size point plateaus
         # at ~98.85% of ceiling): e6 tests undertraining (3x the epochs),
         # emb32 tests capacity (2x the embedding width)
@@ -193,6 +208,9 @@ def run(a) -> dict:
             dropout=a.dropout, batch_size=4096, optimizer="Adam",
             data_dir=out, model_dir=os.path.join(work, f"model_{last['tag']}"),
             dt_dir="p", cross_layers=3,
+            # the checkpoint's opt-state layout must match the template
+            # for Orbax restore (lazy sparse Adam != dense optax Adam)
+            sparse_table_update=last["tag"] == "b16384",
         )
         h = Harness(cfg)
         from tf_repos_tpu.train.checkpoint import CheckpointManager

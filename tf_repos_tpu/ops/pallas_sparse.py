@@ -73,6 +73,12 @@ from jax.experimental.pallas import tpu as pltpu
 # for Pallas's double-buffered pipeline. Above this, fall back to XLA.
 VMEM_ROW_CAP = 49_152
 
+# v5e VMEM is 128 MiB; the kernels' worst case (49k-row f32 table/
+# accumulator + double-buffered chunk blocks) is ~34 MB — declare a
+# 64 MB budget so XLA's scoped-vmem accounting (default 16 MB inside
+# scan bodies) admits the kernel while leaving pipeline headroom.
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -162,6 +168,12 @@ def expand_rows(
             (chunk, K), lambda c: (c, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Np, K), table.dtype),
+        # the pinned table + double-buffered chunks exceed XLA's default
+        # 16 MB scoped-vmem accounting inside lax.scan bodies; declare
+        # the kernel's true budget so scan-dispatch paths compile
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(idx, table)
     return out[:N]
@@ -203,6 +215,9 @@ def accumulate_rows(
             (s, K), lambda c: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((s, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(idx, g)
 
