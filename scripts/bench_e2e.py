@@ -43,6 +43,12 @@ def main(argv=None):
         help="sparse_table_update + pallas_expand (the 2.27M ex/s "
         "device-step configuration; bench.py measures its device side)",
     )
+    ap.add_argument(
+        "--slim", action="store_true",
+        help="--slim_transfer wire format (data/slim_wire.py): halves "
+        "host->device input bytes; the lever when the input link (PCIe "
+        "or the dev tunnel) is the end-to-end bound",
+    )
     a = ap.parse_args(argv)
 
     from tf_repos_tpu.config import Config
@@ -58,6 +64,7 @@ def main(argv=None):
         compute_dtype="bfloat16", static_fields=13,
         steps_per_dispatch=a.steps_per_dispatch, packed_cache=True,
         sparse_table_update=a.sparse, pallas_expand=a.sparse,
+        slim_transfer=a.slim,
     )
     t0 = time.time()
     m = run_task(cfg)

@@ -113,6 +113,16 @@ class Config:
     # cuts the HBM-transaction-bound gather/scatter row count by N/39.
     # Single-chip path; correctness requires the preprocessor layout.
     static_fields: int = 0
+    # slim host->device wire format for the Criteo layout
+    # (data/slim_wire.py): only cont_vals[B,sf] f32 + cat_ids[B,F-sf]
+    # int32 cross the host->device link (164 vs 320 B/example, 1.95x)
+    # and the full batch is reconstructed EXACTLY on-device inside the
+    # already-jitted step. Wins whenever the input link is the bound
+    # (PCIe on colocated hosts; the dev tunnel here caps at ~50 MB/s).
+    # Requires static_fields>0 (same layout contract, validated on every
+    # batch by the host encoder); libsvm models; not composable with
+    # sparse_table_update (its host dedup mapper consumes full feat_ids).
+    slim_transfer: bool = False
     # lazy touched-rows optimizer updates for big embedding tables
     # (train/sparse.py): the async-PS behavior of the reference
     # (DeepCvrMTL.py:122) — only rows present in the batch move, the

@@ -96,6 +96,26 @@ class Harness:
     def __init__(self, cfg: Config, model: Optional[CtrModel] = None):
         self.cfg = cfg
         self.model = model or create_model(cfg)
+        if cfg.slim_transfer:
+            if cfg.static_fields <= 0:
+                raise ValueError(
+                    "--slim_transfer requires --static_fields>0 (it "
+                    "reconstructs the constant-id continuous block from "
+                    "the same Criteo layout contract)"
+                )
+            if cfg.sparse_table_update:
+                raise ValueError(
+                    "--slim_transfer does not compose with "
+                    "--sparse_table_update (the host dedup mapper "
+                    "consumes full feat_ids)"
+                )
+            if input_format(self.model) != "libsvm":
+                raise ValueError(
+                    "--slim_transfer applies to libsvm-format models only"
+                )
+            from tf_repos_tpu.data.slim_wire import SlimWireModel
+
+            self.model = SlimWireModel(self.model)
         self.tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
         self.model_dir = cfg.resolved_model_dir() or "./model_ckpt"
         self.mesh = self._make_mesh()
@@ -370,6 +390,12 @@ class Harness:
             ds = mapped_batches(
                 ds, SparseBatchMapper(self._sparse_slots, pad_mode=cfg.sparse_pad_mode)
             )
+        if cfg.slim_transfer:
+            # host-side encode to the slim wire format, on the prefetch
+            # thread; the SlimWireModel decodes on-device inside the step
+            from tf_repos_tpu.data.slim_wire import encoding_batches
+
+            ds = encoding_batches(ds, cfg.static_fields)
         it: Iterable = Prefetcher(ds, size=cfg.prefetch_batches)
         if jax.process_count() > 1:
             # every host must dispatch the same number of collective steps
@@ -701,7 +727,9 @@ class Harness:
             params = unpad_params_like(self.model, params)
         return export_servable(
             cfg.servable_model_dir or os.path.join(self.model_dir, "servable"),
-            self.model,
+            # export the bare model: the slim wire format is a train-time
+            # host->device transfer optimization, not a serving signature
+            getattr(self.model, "inner", self.model),
             params,
             ts["mstate"],
         )
