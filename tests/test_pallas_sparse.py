@@ -149,3 +149,73 @@ def test_sparse_step_with_pallas_expand_matches_plain():
         np.asarray(p_pl["fm_wv"]), np.asarray(p_x["fm_wv"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (1, 2)])
+def test_sharded_sparse_step_with_pallas_expand_matches_xla(mesh_shape):
+    """--pallas_expand under the MESH-sharded sparse step (VERDICT r2
+    item 2): the replicated [S_pad,K] working set is local to every
+    device, so the kernel needs no collective — the sharded trajectory
+    with the Pallas inner lookup must match the sharded XLA one to float
+    tolerance (interpret mode on the CPU rig; Mosaic on TPU).
+
+    2-device meshes on purpose: the TPU-semantics simulator is ~1 ms per
+    row move, and XLA CPU collectives abort the PROCESS when any device
+    straggles a rendezvous past its hard 40 s deadline (CLAUDE.md) —
+    wider meshes time-slice the simulator on this 4-core box and
+    flake-abort. Data sharding (2,1) and model sharding (1,2) are each
+    still exercised; wider-mesh parity is covered by the fast XLA inner
+    lookup in test_sparse.py."""
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.sparse_batch import SparseBatchMapper
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.parallel.sparse_step import (
+        ShardedSparseState,
+        build_sharded_sparse_train_step,
+    )
+    from tf_repos_tpu.train.optimizers import make_optimizer
+    from tf_repos_tpu.train.sparse import make_sparse_row_optimizer
+
+    cfg = Config(
+        model="DeepFM", feature_size=512, field_size=8, embedding_size=4,
+        deep_layers="16,8", dropout="1.0,1.0", batch_size=32,
+        optimizer="Adam", learning_rate=1e-3, l2_reg=1e-5,
+        sparse_table_update=True,
+    )
+    model = create_model(cfg)
+    rng = np.random.default_rng(5)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    mapped = []
+    for i in range(2):
+        b = {
+            "feat_ids": rng.integers(1, 512, size=(32, 8)).astype(np.int32),
+            "feat_vals": np.ones((32, 8), np.float32),
+            "label": rng.integers(0, 2, size=(32,)).astype(np.float32),
+            "mask": np.ones((32,), np.float32),
+        }
+        mapped.append(mapper(b))
+
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    tx = make_optimizer("Adam", 1e-3)
+    sopt = make_sparse_row_optimizer("Adam", 1e-3, sorted_indices=False)
+
+    def run(inner_lookup):
+        st = ShardedSparseState(model, tx, sopt, mesh)
+        state, specs = st.init(jax.random.PRNGKey(0))
+        step = build_sharded_sparse_train_step(
+            model, tx, sopt, mesh, specs, inner_lookup=inner_lookup
+        )
+        losses = []
+        for i, b in enumerate(mapped):
+            state, loss = step(state, st.place_batch(b), jax.random.PRNGKey(7 + i))
+            losses.append(float(loss))
+        return losses, state["params"]
+
+    l_pl, p_pl = run(PS.make_vmem_expand_lookup(chunk=128, unroll=8))
+    l_x, p_x = run(None)
+    np.testing.assert_allclose(l_pl, l_x, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p_pl["fm_wv"]), np.asarray(p_x["fm_wv"]),
+        rtol=1e-5, atol=1e-6,
+    )

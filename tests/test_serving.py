@@ -308,3 +308,132 @@ def test_example_signature_server_and_cpp_client(wd_servable, tmp_path):
             assert abs(float(pline[0].split("=")[1]) - probe["predictions"][0]) < 1e-4
     finally:
         srv.stop()
+
+
+# ------------------------------------------------------------ gRPC transport
+def test_predict_proto_codec_roundtrip():
+    """Hand-rolled TF-Serving Predict proto codec (serve/predict_proto.py):
+    request and response survive encode->decode bit-exactly in values."""
+    from tf_repos_tpu.serve import predict_proto as PP
+
+    ids = np.arange(78, dtype=np.int64).reshape(2, 39)
+    vals = np.linspace(0, 1, 78, dtype=np.float32).reshape(2, 39)
+    req = PP.encode_predict_request(
+        {"feat_ids": ids, "feat_vals": vals}, "DeepFM", "serving_default"
+    )
+    inputs, name, sig = PP.decode_predict_request(req)
+    assert name == "DeepFM" and sig == "serving_default"
+    np.testing.assert_array_equal(inputs["feat_ids"], ids)
+    np.testing.assert_allclose(inputs["feat_vals"], vals)
+
+    out = {"prob": np.asarray([0.25, 0.75], np.float32)}
+    resp = PP.encode_predict_response(out, "DeepFM", version=1700000000)
+    outputs, name2, version = PP.decode_predict_response(resp)
+    assert name2 == "DeepFM" and version == 1700000000
+    np.testing.assert_allclose(outputs["prob"], out["prob"])
+
+    # negative int64 round-trips (proto two's-complement varint)
+    neg = PP.decode_tensor(PP.encode_tensor(np.asarray([[-5, 3]], np.int64)))
+    np.testing.assert_array_equal(neg, [[-5, 3]])
+
+
+@pytest.fixture(scope="module")
+def grpc_server(servable):
+    srv = PredictionServer(
+        servable.servable_model_dir, port=0, reload_secs=0, grpc_port=0
+    )
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_grpc_predict_roundtrip(servable, grpc_server):
+    """Native gRPC PredictionService/Predict (the reference's transport,
+    deep_fm_serving_client.cpp:69) against a stock grpcio channel with
+    raw-bytes (de)serializers — wire format is the real TF-Serving one."""
+    from tf_repos_tpu.serve.grpc_server import grpc_predict
+
+    inst = _instances(servable, 3, seed=11)
+    inputs = {
+        "feat_ids": np.stack([i["feat_ids"] for i in inst]).astype(np.int64),
+        "feat_vals": np.stack([i["feat_vals"] for i in inst]),
+    }
+    outputs, name, version = grpc_predict(
+        "127.0.0.1", grpc_server.grpc_port, inputs, "DeepFM"
+    )
+    assert name == "DeepFM" and version == int(grpc_server.scorer.version)
+    assert outputs["prob"].shape == (3,)
+    # transport parity: same instances through HTTP REST
+    rest = grpc_server.batcher.submit(inst)
+    np.testing.assert_allclose(outputs["prob"], rest["prob"], rtol=1e-6)
+
+
+def test_grpc_predict_wrong_model_name(servable, grpc_server):
+    import grpc
+
+    from tf_repos_tpu.serve.grpc_server import grpc_predict
+
+    with pytest.raises(grpc.RpcError) as e:
+        grpc_predict(
+            "127.0.0.1", grpc_server.grpc_port,
+            {"feat_ids": np.zeros((1, 39), np.int64),
+             "feat_vals": np.zeros((1, 39), np.float32)},
+            "NoSuchModel",
+        )
+    assert e.value.code() == grpc.StatusCode.NOT_FOUND
+
+
+def test_grpc_example_string_tensor(wd_servable):
+    """The wide_n_deep parsing signature over gRPC: a DT_STRING tensor of
+    serialized tf.Examples (wide_n_deep_serving_client.cpp:52-62)."""
+    from tf_repos_tpu.serve.example_proto import encode_example
+    from tf_repos_tpu.serve.grpc_server import grpc_predict
+
+    srv = PredictionServer(
+        wd_servable.servable_model_dir, port=0, reload_secs=0, grpc_port=0
+    )
+    srv.start()
+    try:
+        feats = {f"I{i}": [0.5] for i in range(1, 14)}
+        feats.update({f"C{i}": [i] for i in range(1, 27)})
+        ex = encode_example(feats)
+        outputs, _, _ = grpc_predict(
+            "127.0.0.1", srv.grpc_port,
+            {"inputs": np.asarray([ex], object)},
+            srv.model_name,
+        )
+        assert outputs["prob"].shape == (1,)
+        assert 0.0 <= float(outputs["prob"][0]) <= 1.0
+    finally:
+        srv.stop()
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_cpp_client_grpc_web_end_to_end(servable, server, tmp_path):
+    """C++ client 'grpc' mode: hand-encoded PredictRequest over grpc-web
+    framing against the HTTP server's PredictionService route — the
+    reference's request shape (deep_fm_serving_client.cpp:42-69) with no
+    grpc++/protobuf dependency."""
+    build = tmp_path / "cppbuild_grpc"
+    shutil.copytree(CPP_DIR, build)
+    subprocess.run(["make", "-s"], cwd=build, check=True, timeout=120)
+    out = subprocess.run(
+        [str(build / "ctr_client"), "127.0.0.1", str(server.port), "DeepFM",
+         "grpc", "39"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    pline = [l for l in out.stdout.splitlines() if l.startswith("pctr = ")]
+    assert len(pline) == 1
+    p = float(pline[0].split("=")[1])
+    assert 0.0 <= p <= 1.0
+    # transport parity: REST mode on the same sample gives the same pctr
+    out2 = subprocess.run(
+        [str(build / "ctr_client"), "127.0.0.1", str(server.port), "DeepFM", "39"],
+        capture_output=True, text=True, timeout=60,
+    )
+    p2 = float(
+        [l for l in out2.stdout.splitlines() if l.startswith("pctr = ")][0]
+        .split("=")[1]
+    )
+    assert abs(p - p2) < 1e-5

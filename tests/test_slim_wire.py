@@ -1,8 +1,11 @@
 """--slim_transfer: slim host->device wire format for the Criteo layout
 (data/slim_wire.py). The codec must be EXACT — decode(encode(b)) == b
-including zero-padded tail rows — and the full harness must produce a
-bit-identical trajectory with the flag on vs off (the wire format only
-changes which bytes cross the host->device link, never the math)."""
+including zero-padded tail rows — and the full harness must produce the
+same trajectory with the flag on vs off to float-accumulation tolerance
+(the codec is mathematically exact, but the on-device decode fuses into
+a different XLA program, so agreement is last-ulp, not bytes). Also
+covers the --sparse_table_update composition: encode runs AFTER the
+dedup mapper and both encoder contracts survive the remap."""
 
 import os
 
@@ -105,6 +108,61 @@ def test_slim_requires_static_fields(tmp_path):
     cfg = _cfg(tmp_path, "m", slim_transfer=True, static_fields=0)
     with pytest.raises(ValueError, match="static_fields"):
         run_task(cfg)
-    cfg2 = _cfg(tmp_path, "m2", slim_transfer=True, sparse_table_update=True)
-    with pytest.raises(ValueError, match="sparse_table_update"):
-        run_task(cfg2)
+
+
+def test_encode_decode_after_sparse_mapper():
+    """Composition seam (VERDICT r2 item 1): the dedup mapper's remap
+    keeps position == id for the static prefix and cat vals at 1.0, so
+    encode(mapped) round-trips to exactly the mapped batch and the
+    __uids_* array rides the wire untouched."""
+    from tf_repos_tpu.data.sparse_batch import SparseBatchMapper
+    from tf_repos_tpu.models.base import SparseSlot
+    from tf_repos_tpu.train.sparse import UIDS_PREFIX
+
+    b = _batch_with_padding()
+    mapper = SparseBatchMapper(
+        {"fm_wv": SparseSlot(("feat_ids",), 500, static=13)}
+    )
+    mapped = mapper({k: v.copy() for k, v in b.items()})
+    slim = encode_batch(mapped, sf=13)
+    assert UIDS_PREFIX + "fm_wv" in slim
+    dec = decode_batch(slim, sf=13)
+    for k in mapped:
+        np.testing.assert_array_equal(np.asarray(dec[k]), mapped[k])
+
+
+@pytest.mark.parametrize("pallas", [False, True])
+def test_slim_composes_with_sparse_trajectory(tmp_path, pallas):
+    """Full harness ON A MESH: sparse_table_update + static_fields with
+    slim off vs on — same trajectory to float tolerance (incl. the
+    --pallas_expand inner lookup, interpret-mode on the CPU rig). This
+    is the composed headline configuration of VERDICT r2 items 1+2.
+    The pallas variant uses a 2-device mesh: the TPU-semantics simulator
+    plus XLA CPU's hard 40 s collective rendezvous deadline makes wider
+    meshes flake-abort on this box (see test_pallas_sparse.py)."""
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    # few steps: the pallas variant runs the TPU-semantics simulator on
+    # this CPU rig (~1 ms per simulated row move)
+    write_synthetic_libsvm(str(data_dir / "tr.part0.libsvm"), 96, feature_size=500, seed=0)
+    write_synthetic_libsvm(str(data_dir / "va.part0.libsvm"), 48, feature_size=500, seed=1)
+    write_synthetic_libsvm(str(data_dir / "te.part0.libsvm"), 32, feature_size=500, seed=2)
+
+    results = {}
+    for slim in (False, True):
+        tag = f"sp_slim{int(slim)}_pl{int(pallas)}"
+        cfg = _cfg(
+            tmp_path, tag, slim_transfer=slim, sparse_table_update=True,
+            pallas_expand=pallas,
+            mesh_data=1 if pallas else 2, mesh_model=2,
+        )
+        tr = run_task(cfg)
+        ev = run_task(cfg.replace(task_type="eval"))
+        pred_path = run_task(cfg.replace(task_type="infer"))
+        preds = np.array([float(x) for x in open(pred_path)])
+        results[slim] = (tr["loss"], ev["loss"], ev["auc"], preds)
+
+    assert abs(results[False][0] - results[True][0]) < 1e-6
+    assert abs(results[False][1] - results[True][1]) < 1e-6
+    assert abs(results[False][2] - results[True][2]) < 1e-6
+    np.testing.assert_allclose(results[False][3], results[True][3], atol=2e-6)

@@ -120,8 +120,9 @@ class Config:
     # already-jitted step. Wins whenever the input link is the bound
     # (PCIe on colocated hosts; the dev tunnel here caps at ~50 MB/s).
     # Requires static_fields>0 (same layout contract, validated on every
-    # batch by the host encoder); libsvm models; not composable with
-    # sparse_table_update (its host dedup mapper consumes full feat_ids).
+    # batch by the host encoder); libsvm models. Composes with
+    # sparse_table_update: the encoder runs AFTER the dedup mapper, whose
+    # remap preserves both encoder contracts (data/slim_wire.py).
     slim_transfer: bool = False
     # lazy touched-rows optimizer updates for big embedding tables
     # (train/sparse.py): the async-PS behavior of the reference
@@ -148,7 +149,9 @@ class Config:
     # VPU load/store instead of an HBM DMA descriptor. Measured on v5e
     # at the headline point (Zipf ids, B=16384): step 12.1 -> 7.2 ms,
     # 1.47x over the dense+static headline (2.27M examples/s). Requires
-    # sparse_table_update; single-chip path; falls back to XLA at trace
+    # sparse_table_update; works on one chip AND under a mesh (the
+    # sharded sparse step's replicated [S_pad,K] working set is local to
+    # each device, parallel/sparse_step.py); falls back to XLA at trace
     # time when S exceeds the VMEM capacity rule (e.g. uniform ids).
     pallas_expand: bool = False
     # parse libsvm text once and memmap a packed binary sidecar

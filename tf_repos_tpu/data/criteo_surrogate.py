@@ -19,9 +19,13 @@ reference pipeline (deep_ctr/README.md:33,51; get_criteo_feature.py:19-25):
     that decay to the shared tail value at the cutoff boundary — so the
     post-cutoff representation (rare ranks collapse to <unk>) can
     express the truth EXACTLY and the Bayes ceiling is achievable.
-  * (tau, b0) calibrated once (deterministic probe) so Bayes AUC is
-    ~0.803 — the reference's published band (AUC=0.8±0.003,
-    deep_ctr/README.md:38-45) — and CTR ~0.256.
+  * (tau, b0, w_pair) calibrated once (deterministic probe) so Bayes
+    AUC is ~0.803 — the reference's published band (AUC=0.8±0.003,
+    deep_ctr/README.md:38-45) — CTR ~0.256, AND the first-order-only
+    score's AUC is ~0.780: the published default-hypers ladder has LR
+    at 0.777 above default DeepFM (uploads/tensorboard_auc.png), i.e.
+    real-Criteo signal is mostly first-order-marginal, so the plant's
+    first/pair mix is solved to reproduce that band structure.
 
 Smaller samples use a quantile-equivalent cutoff: cutoff(N) =
 round(200 * N / 45.84M), preserving the same kept-vocabulary so
@@ -58,7 +62,14 @@ FEATURE_SIZE_TARGET = 117_581  # reference feature space (README.md:51)
 KEPT_TARGET = FEATURE_SIZE_TARGET - NUM_CONTINUOUS - NUM_CATEGORICAL
 
 BAYES_AUC_TARGET = 0.803
+# AUC of the first-order-only score at the calibrated operating point:
+# the published default-hypers band has LR at ~0.777, ABOVE default
+# DeepFM 0.769 (uploads/tensorboard_auc.png) — real-Criteo signal is
+# mostly first-order-marginal, and the plant's first/pair mix is solved
+# to match (calibration()).
+FIRST_AUC_TARGET = 0.780
 CTR_TARGET = 0.256
+W_FIRST = 0.8
 PLANT_DIM = 4
 _TAIL_OVER = 3  # raw vocab = _TAIL_OVER * kept target (sub-cutoff tail)
 
@@ -177,10 +188,22 @@ def _envelope(field: int, ranks: np.ndarray) -> np.ndarray:
     return x**1.5
 
 
-def true_logits(cat_ranks: np.ndarray, cont_u: np.ndarray) -> np.ndarray:
-    """[B] planted logit (pre-calibration). cat_ranks: int[B,26] 1-based
-    frequency ranks; cont_u: float[B,13] QUANTIZED normalized values
-    (round(u*clip)/clip — exactly what the preprocessor reconstructs)."""
+def logit_components(
+    cat_ranks: np.ndarray, cont_u: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(first, pair) planted logit components (pre-mix, pre-calibration).
+    cat_ranks: int[B,26] 1-based frequency ranks; cont_u: float[B,13]
+    QUANTIZED normalized values (round(u*clip)/clip — exactly what the
+    preprocessor reconstructs).
+
+    `first` is FULLY representable by a linear model over the libsvm
+    encoding: per-(field,rank) categorical effects (one weight per kept
+    id; sub-cutoff ranks share the zero tail so <unk> is lossless) plus
+    effects LINEAR in the continuous values (an LR fits w_i * u_i — a
+    non-monotone continuous effect would leak first-order signal the
+    wide/FTRL leg cannot express, which is exactly the miscalibration
+    VERDICT r2 item 3 flagged). `pair` is the low-rank FM interaction
+    only deep/factorized models can capture."""
     B = cat_ranks.shape[0]
     emb = np.zeros((B, PLANT_DIM), np.float32)
     sq = np.zeros((B,), np.float32)
@@ -197,18 +220,42 @@ def true_logits(cat_ranks: np.ndarray, cont_u: np.ndarray) -> np.ndarray:
         e = _hash_vec(100 + i, np.zeros(B, np.int64), PLANT_DIM, salt=1.7) * u[:, None]
         emb += e
         sq += np.sum(e * e, axis=1)
-        first += np.sin(3.0 * u + i) * (0.6 + 0.05 * i)
+        first += (2.0 * u - 1.0) * (0.6 + 0.05 * i)
     pair = 0.5 * (np.sum(emb * emb, axis=1) - sq)
-    return 0.8 * first + 0.35 * pair
+    return W_FIRST * first, pair
 
 
-_CAL: Tuple[float, float, float] | None = None
+def true_logits(cat_ranks: np.ndarray, cont_u: np.ndarray) -> np.ndarray:
+    """[B] planted logit: first + w_pair * pair with w_pair from the
+    calibration solve (triggers it on first use)."""
+    w_pair = calibration()[3]
+    first, pair = logit_components(cat_ranks, cont_u)
+    return first + w_pair * pair
 
 
-def calibration(probe: int = 400_000, seed: int = 1234) -> Tuple[float, float, float]:
-    """(tau, b0, mean): p = sigmoid(tau * (logit - mean) + b0), solved so
-    Bayes AUC ~= BAYES_AUC_TARGET and CTR ~= CTR_TARGET. Deterministic
-    (fixed probe seed), computed once per process (~2s)."""
+_CAL: Tuple[float, float, float, float] | None = None
+
+
+def calibration(
+    probe: int = 400_000, seed: int = 1234
+) -> Tuple[float, float, float, float]:
+    """(tau, b0, mean, w_pair): p = sigmoid(tau * (logit - mean) + b0)
+    over logit = first + w_pair * pair, solved so
+
+      * Bayes AUC (full score)        ~= BAYES_AUC_TARGET  (0.803)
+      * AUC of the FIRST-ORDER score  ~= FIRST_AUC_TARGET  (0.780)
+      * CTR                           ~= CTR_TARGET        (0.256)
+
+    The first-order target reproduces the published band STRUCTURE of
+    tensorboard_auc.png (deep_ctr/README.md:38): default-hypers LR sits
+    at ~0.777, ABOVE default DeepFM — i.e. most of the predictable
+    variance on real Criteo is first-order-marginal. VERDICT r2 item 3:
+    the old plant was pair-dominated, so the wide/FTRL leg converged but
+    topped out at 86.9% of ceiling and the linear band was unvalidated.
+
+    Deterministic (fixed probe seed), computed once per process. The
+    nested solve (w_pair -> tau -> b0) reuses the probe's (first, pair)
+    components and rank tables, so it stays a few seconds."""
     global _CAL
     if _CAL is not None:
         return _CAL
@@ -216,54 +263,82 @@ def calibration(probe: int = 400_000, seed: int = 1234) -> Tuple[float, float, f
     F = fields()
     cat = np.stack([F.sample(rng, f, probe) for f in range(NUM_CATEGORICAL)], 1)
     u = _draw_cont(rng, probe)
-    logit = true_logits(cat, u)
-    mean = float(logit.mean())
-    z = logit - mean
-    # ranks of the true scores, aligned to original indexing (continuous
-    # scores -> tie correction negligible)
-    order = np.argsort(z, kind="stable")
-    ranks = np.empty(probe)
-    ranks[order] = np.arange(1, probe + 1)
-
+    first, pair = logit_components(cat, u)
     uni = np.random.default_rng(seed + 1).random(probe)
 
-    def solve_b0(tau: float) -> float:
-        """CTR == target at this tau (labels depend on both)."""
-        blo, bhi = -8.0, 8.0
-        for _ in range(60):
-            b0 = (blo + bhi) / 2
-            ctr = float(np.mean(1.0 / (1.0 + np.exp(-(tau * z + b0)))))
-            if ctr < CTR_TARGET:
-                blo = b0
-            else:
-                bhi = b0
-        return (blo + bhi) / 2
+    def ranks_of(x: np.ndarray) -> np.ndarray:
+        # ranks aligned to original indexing (continuous scores ->
+        # tie correction negligible)
+        order = np.argsort(x, kind="stable")
+        r = np.empty(probe)
+        r[order] = np.arange(1, probe + 1)
+        return r
 
-    def bayes_auc(tau: float) -> float:
-        """AUC at the ACTUAL operating point (CTR-matched b0) — the
-        label mixture, and therefore AUC, depends on b0."""
-        p = 1.0 / (1.0 + np.exp(-(tau * z + solve_b0(tau))))
-        y = (uni < p).astype(np.float64)
+    first_ranks = ranks_of(first)
+
+    def auc(ranks: np.ndarray, y: np.ndarray) -> float:
         n_pos = float(y.sum())
         n_neg = probe - n_pos
         rank_sum = float(np.sum(ranks * y))
         return (rank_sum - n_pos * (n_pos + 1) / 2) / max(n_pos * n_neg, 1.0)
 
-    lo, hi = 0.05, 8.0
-    for _ in range(40):
+    def solve_at(w_pair: float) -> Tuple[float, float, float, float]:
+        """(tau, b0, mean, first_auc) at this mix: tau hits the full-
+        score Bayes AUC target, b0 the CTR target."""
+        logit = first + w_pair * pair
+        mean = float(logit.mean())
+        z = (logit - mean).astype(np.float32)
+        z_ranks = ranks_of(z)
+
+        def solve_b0(tau: float) -> float:
+            blo, bhi = -8.0, 8.0
+            with np.errstate(over="ignore"):  # exp overflow -> p=0, fine
+                for _ in range(40):
+                    b0 = (blo + bhi) / 2
+                    ctr = float(np.mean(1.0 / (1.0 + np.exp(-(tau * z + b0)))))
+                    if ctr < CTR_TARGET:
+                        blo = b0
+                    else:
+                        bhi = b0
+            return (blo + bhi) / 2
+
+        def labels(tau: float) -> np.ndarray:
+            """Labels at the ACTUAL operating point (CTR-matched b0) —
+            the label mixture, and therefore AUC, depends on b0."""
+            with np.errstate(over="ignore"):
+                p = 1.0 / (1.0 + np.exp(-(tau * z + solve_b0(tau))))
+            return (uni < p).astype(np.float64)
+
+        lo, hi = 0.05, 8.0
+        for _ in range(26):
+            tau = (lo + hi) / 2
+            if auc(z_ranks, labels(tau)) < BAYES_AUC_TARGET:
+                lo = tau
+            else:
+                hi = tau
         tau = (lo + hi) / 2
-        if bayes_auc(tau) < BAYES_AUC_TARGET:
-            lo = tau
+        y = labels(tau)
+        return tau, solve_b0(tau), mean, auc(first_ranks, y)
+
+    # outer solve: more pair weight -> lower first-order-only AUC
+    wlo, whi = 0.0, 2.0
+    for _ in range(16):
+        w = (wlo + whi) / 2
+        f_auc = solve_at(w)[3]
+        if f_auc > FIRST_AUC_TARGET:
+            wlo = w
         else:
-            hi = tau
-    tau = (lo + hi) / 2
-    _CAL = (tau, solve_b0(tau), mean)
+            whi = w
+    w_pair = (wlo + whi) / 2
+    tau, b0, mean, _ = solve_at(w_pair)
+    _CAL = (tau, b0, mean, w_pair)
     return _CAL
 
 
 def label_probs(logit: np.ndarray) -> np.ndarray:
-    tau, b0, mean = calibration()
-    return 1.0 / (1.0 + np.exp(-(tau * (logit - mean) + b0)))
+    tau, b0, mean, _ = calibration()
+    with np.errstate(over="ignore"):
+        return 1.0 / (1.0 + np.exp(-(tau * (logit - mean) + b0)))
 
 
 def _draw_cont(rng: np.random.Generator, n: int) -> np.ndarray:

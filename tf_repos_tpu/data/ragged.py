@@ -135,9 +135,13 @@ def auto_multi_hot_pad(
 
 
 class AliccpDataset:
-    """Streaming reader over sample-line files with the shared window-
-    shuffle / epoch / static-batch semantics. ``multi_hot_pad=0`` derives
-    the pad from the data (auto_multi_hot_pad)."""
+    """Streaming reader over sample-line files OR reference-format
+    *.tfrecord stores (data/tfrecord.py; the container written by
+    get_aliccp_tfrecord.py — migration path for existing ~500 GB stores,
+    DeepMTL/README.md:33) with the shared window-shuffle / epoch /
+    static-batch semantics. ``multi_hot_pad=0`` derives the pad from the
+    data (auto_multi_hot_pad). File lists must be format-homogeneous
+    (all sample lines or all .tfrecord)."""
 
     def __init__(
         self,
@@ -167,7 +171,20 @@ class AliccpDataset:
         self.batch_size = batch_size
         self.drop_remainder = drop_remainder
         self.packed_cache = packed_cache
+        from tf_repos_tpu.data.tfrecord import is_tfrecord_file
+
+        n_rec = sum(is_tfrecord_file(f) for f in self._inner.filenames)
+        if 0 < n_rec < len(self._inner.filenames):
+            raise ValueError(
+                "AliccpDataset: mixed sample-line and .tfrecord inputs; "
+                "convert one side (data/tfrecord.py convert_sample_file)"
+            )
+        self.tfrecord = n_rec > 0
         if multi_hot_pad <= 0:
+            if self.tfrecord:
+                raise ValueError(
+                    "multi_hot_pad=0 (auto) requires sample-line inputs"
+                )
             multi_hot_pad = auto_multi_hot_pad(filenames)
         self.multi_hot_pad = multi_hot_pad
 
@@ -185,8 +202,12 @@ class AliccpDataset:
         if self.packed_cache:
             # parse once -> packed sidecar arrays, memmap on every later
             # epoch/run (data/cache.py); chunk-window shuffle like the
-            # libsvm array path
+            # libsvm array path (tfrecord inputs cache identically —
+            # _parse_file_chunks dispatches per file)
             yield from self._iter_dict_batches(self._iter_cached_chunks())
+            return
+        if self.tfrecord:
+            yield from self._iter_tfrecord_batches()
             return
         native = self._native()
         parse = native.parse_aliccp_lines if native else parse_aliccp_lines
@@ -204,11 +225,79 @@ class AliccpDataset:
                 for k, v in batch.items()
             }
 
+    # ----------------------------------------------------- tfrecord path
+    def _iter_record_payloads(self) -> Iterator[bytes]:
+        """Record payloads with the line path's epoch/file-shuffle/window-
+        shuffle semantics (same rng stream as the inner reader)."""
+        from tf_repos_tpu.data.tfrecord import iter_records
+
+        inner = self._inner
+
+        def raw():
+            for _ in range(inner.num_epochs):
+                files = list(inner.filenames)
+                if inner.perform_shuffle:
+                    inner.rng.shuffle(files)
+                for path in files:
+                    yield from iter_records(path)
+
+        if not inner.perform_shuffle:
+            yield from raw()
+            return
+        buf: List[bytes] = []
+        for item in raw():
+            buf.append(item)
+            if len(buf) >= inner.shuffle_buffer:
+                i = inner.rng.randrange(len(buf))
+                buf[i], buf[-1] = buf[-1], buf[i]
+                yield buf.pop()
+        inner.rng.shuffle(buf)
+        yield from buf
+
+    def _iter_tfrecord_batches(self) -> Iterator[Batch]:
+        from tf_repos_tpu.data.tfrecord import parse_aliccp_examples
+
+        pending: List[bytes] = []
+        for payload in self._iter_record_payloads():
+            pending.append(payload)
+            if len(pending) == self.batch_size:
+                yield parse_aliccp_examples(pending, self.multi_hot_pad)
+                pending = []
+        if pending and not self.drop_remainder:
+            batch = parse_aliccp_examples(pending, self.multi_hot_pad)
+            pad = self.batch_size - len(pending)
+            yield {
+                k: np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+                for k, v in batch.items()
+            }
+
     # -------------------------------------------------- packed-cache path
     def _parse_file_chunks(self, path: str, chunk_bytes: int = 16 << 20):
         """In-order parsed dict-chunks of ONE file (native blob parse with
-        a small thread pool when available, python lines otherwise); the
-        'label' alias is dropped — it is re-established per batch."""
+        a small thread pool when available, python lines otherwise; record
+        chunks for .tfrecord inputs); the 'label' alias is dropped — it is
+        re-established per batch."""
+        from tf_repos_tpu.data.tfrecord import is_tfrecord_file
+
+        if is_tfrecord_file(path):
+            from tf_repos_tpu.data.tfrecord import (
+                iter_records,
+                parse_aliccp_examples,
+            )
+
+            pend: List[bytes] = []
+            for payload in iter_records(path):
+                pend.append(payload)
+                if len(pend) == 65536:
+                    d = dict(parse_aliccp_examples(pend, self.multi_hot_pad))
+                    d.pop("label", None)
+                    yield d
+                    pend = []
+            if pend:
+                d = dict(parse_aliccp_examples(pend, self.multi_hot_pad))
+                d.pop("label", None)
+                yield d
+            return
         native = self._native()
         if native is None:
             for blob in self._inner._blobs_for_file(path, chunk_bytes):

@@ -16,12 +16,25 @@ So the wire only needs cont_vals f32[B,sf] + cat_ids int32[B,F-sf]
 (+ label/mask) = 164 B/example — 1.95x fewer input bytes on ANY
 host→device link (PCIe on colocated hosts, the dev tunnel here), and
 the full batch is reconstructed EXACTLY on-device inside the already-
-jitted step (padding rows reconstruct to the same zeros the dense
-reader emits, keyed off the mask, so trajectories are bit-identical).
+jitted step. The codec is mathematically exact (padding rows
+reconstruct to the same zeros the dense reader emits, keyed off the
+mask); end-to-end trajectories agree to float-accumulation tolerance,
+not bytes, because the decode fuses into a different XLA program.
 
 Enabled with --slim_transfer (requires --static_fields>0; libsvm
 models; composes with steps_per_dispatch stacking and the sharded
 data-axis placement — batch_spec shards any leading-batch-axis key).
+
+Composes with --sparse_table_update: the harness runs the encoder
+AFTER the dedup mapper (data/sparse_batch.py), whose remap keeps
+position == id for the whole static prefix — ids 1..sf appear in
+every valid row (they are the constant continuous-field ids), so the
+ascending unique set starts [0, 1, .., sf] and SparseSlot.static
+seeding pins that even for degenerate batches. Categorical vals stay
+exactly 1.0 (the mapper never touches vals), so both encoder
+contracts still hold on the REMAPPED batch and the wire carries
+remapped cat ids + the __uids_* arrays (which ride the wire either
+way). Any violation fails loudly on the host, per batch.
 
   encode_batch   host side (runs on the prefetch thread), validates the
                  layout contract on every batch (cheap memcmp-speed
@@ -134,6 +147,24 @@ class SlimWireModel(CtrModel):
         lookup=dense_lookup,
     ) -> Tuple[Outputs, State]:
         return self.inner.apply(
+            params, state, decode_batch(batch, self._sf),
+            train=train, rng=rng, lookup=lookup,
+        )
+
+    def loss(
+        self,
+        params: Params,
+        state: State,
+        batch: Batch,
+        *,
+        train: bool,
+        rng: Optional[jax.Array] = None,
+        lookup=dense_lookup,
+    ):
+        # decode-then-delegate (not the inherited CtrModel.loss over
+        # self.apply): a model that OVERRIDES loss (e.g. a multi-task
+        # joint loss) must see its own loss, not the base one
+        return self.inner.loss(
             params, state, decode_batch(batch, self._sf),
             train=train, rng=rng, lookup=lookup,
         )

@@ -168,7 +168,18 @@ class GlobalUidsUnion:
             n_real = int((local < slot.vocab).sum())
             lp2gp = np.zeros(max(local.shape[0], 1), np.int32)
             lp2gp[:n_real] = np.searchsorted(g, local[:n_real]).astype(np.int32)
+            # under --slim_transfer the encoder ran on the prefetch thread
+            # and split "feat_ids" into the implicit static prefix (whose
+            # positions are INVARIANT here: every local set contains the
+            # full 0..static prefix, so lp2gp[i] == i across it) plus the
+            # explicit cat-id block — remap whichever representation the
+            # batch carries
+            from tf_repos_tpu.data.slim_wire import CAT_IDS
+
             for f in slot.fields:
-                batch[f] = np.take(lp2gp, batch[f], mode="clip")
+                if f in batch:
+                    batch[f] = np.take(lp2gp, batch[f], mode="clip")
+                elif f == "feat_ids" and CAT_IDS in batch:
+                    batch[CAT_IDS] = np.take(lp2gp, batch[CAT_IDS], mode="clip")
             batch[key] = guids
         return batch

@@ -89,6 +89,26 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _resolve_interpret(interpret, vma, chunk: int, unroll: int):
+    """Pick the interpreter and cap the chunk for the CPU rig.
+
+    Outside shard_map the fast generic HLO interpreter (interpret=True)
+    is used. Inside shard_map(check_vma=True) (vma nonempty) it mis-
+    tracks vma through its internal grid scan ("Scan carry ... mismatched
+    varying manual axes"), so the TPU-semantics simulator
+    (pltpu.InterpretParams) is substituted — it is ~1 ms per simulated
+    row move, so the chunk is capped to bound the index-pad waste;
+    row-processing ORDER is chunk-invariant, so results are unchanged."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if interpret is True and vma:
+        interpret = pltpu.InterpretParams()
+    if interpret is not False:
+        chunk = min(chunk, 256)
+        unroll = min(unroll, 8)
+    return interpret, chunk, unroll
+
+
 def _expand_kernel(idx_ref, table_ref, out_ref, *, chunk: int, unroll: int):
     """out[c*chunk + r, :] = table[idx[c*chunk + r], :] for one chunk.
 
@@ -149,9 +169,12 @@ def expand_rows(
     interpret: bool | None = None,
 ) -> jax.Array:  # [N, K], table.dtype
     """Pallas row expand: rows = table[idx]. See module docstring."""
-    if interpret is None:
-        interpret = _default_interpret()
     S, K = table.shape
+    # inside shard_map(check_vma=True) the out aval must declare which
+    # mesh axes it varies over: the union of the operands' (e.g. ids
+    # shard over "data", the compact table is replicated)
+    vma = jax.typeof(idx).vma | jax.typeof(table).vma
+    interpret, chunk, unroll = _resolve_interpret(interpret, vma, chunk, unroll)
     (N,) = idx.shape
     Np = _round_up(N, chunk)
     if Np != N:
@@ -167,7 +190,7 @@ def expand_rows(
         out_specs=pl.BlockSpec(
             (chunk, K), lambda c: (c, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Np, K), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((Np, K), table.dtype, vma=vma),
         # the pinned table + double-buffered chunks exceed XLA's default
         # 16 MB scoped-vmem accounting inside lax.scan bodies; declare
         # the kernel's true budget so scan-dispatch paths compile
@@ -192,8 +215,8 @@ def accumulate_rows(
 ) -> jax.Array:  # [s, K] float32
     """Pallas segment accumulate: out[i] = sum over {r: idx[r] == i} of
     g[r]. The AD transpose of expand_rows."""
-    if interpret is None:
-        interpret = _default_interpret()
+    vma = jax.typeof(idx).vma | jax.typeof(g).vma  # see expand_rows
+    interpret, chunk, unroll = _resolve_interpret(interpret, vma, chunk, unroll)
     (N, K) = g.shape
     Np = _round_up(N, chunk)
     if Np != N:
@@ -214,7 +237,7 @@ def accumulate_rows(
         out_specs=pl.BlockSpec(
             (s, K), lambda c: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((s, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((s, K), jnp.float32, vma=vma),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
@@ -258,27 +281,44 @@ def make_vmem_expand_lookup(chunk: int = 8192, unroll: int = 16):
     is positionally addressed, so models may serve static-id fields from
     a slice (models/deepfm.py static_fields fast path)."""
 
-    @jax.custom_vjp
-    def pl_lookup(rows, ids):
-        flat = expand_rows(rows, ids.reshape(-1), chunk=chunk, unroll=unroll)
-        return flat.reshape(ids.shape + rows.shape[-1:])
+    def _make(extra_axes):
+        # one custom_vjp per psum-axis set: inside
+        # shard_map(check_vma=True) the bwd must hand back a cotangent
+        # with the PRIMAL's vma — for a replicated rows operand that
+        # means psumming over the mesh axes the cotangent picks up from
+        # the (sharded) ids. This is exactly the pbroadcast-transpose
+        # JAX inserts around plain primitives but cannot see through a
+        # custom_vjp; the axis set is a trace-time constant
+        # (ids.vma − rows.vma), so it is closed over, not a residual.
+        @jax.custom_vjp
+        def pl_lookup(rows, ids):
+            flat = expand_rows(rows, ids.reshape(-1), chunk=chunk, unroll=unroll)
+            return flat.reshape(ids.shape + rows.shape[-1:])
 
-    def fwd(rows, ids):
-        return pl_lookup(rows, ids), (ids, rows.shape)
+        def fwd(rows, ids):
+            return pl_lookup(rows, ids), (ids, rows.shape)
 
-    def bwd(res, ct):
-        ids, (s, k) = res
-        d_rows = accumulate_rows(
-            ct.reshape(-1, k), ids.reshape(-1), s, chunk=chunk, unroll=unroll
-        )
-        return d_rows.astype(jnp.float32), np.zeros(ids.shape, jax.dtypes.float0)
+        def bwd(res, ct):
+            ids, (s, k) = res
+            d_rows = accumulate_rows(
+                ct.reshape(-1, k), ids.reshape(-1), s, chunk=chunk, unroll=unroll
+            ).astype(jnp.float32)
+            if extra_axes:
+                d_rows = jax.lax.psum(d_rows, extra_axes)
+            return d_rows, np.zeros(ids.shape, jax.dtypes.float0)
 
-    pl_lookup.defvjp(fwd, bwd)
+        pl_lookup.defvjp(fwd, bwd)
+        return pl_lookup
+
+    cache = {}
 
     def lookup(rows, ids):
         if not fits_vmem(rows.shape[0]):
             return rows[ids]
-        return pl_lookup(rows, ids)
+        extra = tuple(sorted(jax.typeof(ids).vma - jax.typeof(rows).vma))
+        if extra not in cache:
+            cache[extra] = _make(extra)
+        return cache[extra](rows, ids)
 
     lookup.static_slice_ok = True
     return lookup

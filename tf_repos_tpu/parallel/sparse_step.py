@@ -169,11 +169,17 @@ def build_sharded_sparse_train_step(
     sopt: SparseRowOpt,
     mesh,
     specs: Dict[str, Any],
+    inner_lookup=None,
 ):
     """(state, batch, rng) -> (state, loss). Batches must come through
-    data/sparse_batch.SparseBatchMapper (global uids + remapped ids)."""
+    data/sparse_batch.SparseBatchMapper (global uids + remapped ids).
+    ``inner_lookup`` overrides the model's inner (remapped-id) lookup
+    into the replicated [S_pad,K] working set — e.g. the Pallas VMEM
+    expand of ops/pallas_sparse.py (--pallas_expand): the compact rows
+    are per-device replicated, so each device runs the same kernel on
+    its local batch shard; no collective crosses the kernel."""
     pspec, ospec, mspec = specs["params"], specs["opt_state"], specs["mstate"]
-    step = _make_sparse_step_body(model, tx_dense, sopt)
+    step = _make_sparse_step_body(model, tx_dense, sopt, inner_lookup)
 
     def wrapped(state, batch, rng):
         bspec = sparse_batch_spec(batch)
@@ -193,13 +199,15 @@ def build_sharded_sparse_train_step(
 
 
 def _make_sparse_step_body(
-    model: CtrModel, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt
+    model: CtrModel, tx_dense: optax.GradientTransformation, sopt: SparseRowOpt,
+    inner_lookup=None,
 ):
     """Per-device sharded-sparse step body (shared by the single-dispatch
     and scan-batched builders); must run inside shard_map."""
     slots = model.sparse_slots()
     slot_names = list(slots.keys())
     lookup = make_sharded_lookup(MODEL_AXIS)
+    row_lookup = inner_lookup if inner_lookup is not None else dense_lookup
 
     def step(params, opt_state, mstate, batch, rng):
         # SR keys must be identical on every device (the same row update
@@ -220,7 +228,7 @@ def _make_sparse_step_body(
             p = dict(rest)
             p.update(rows)
             out, new_ms = model.apply(
-                p, mstate, batch, train=True, rng=drop_rng, lookup=dense_lookup
+                p, mstate, batch, train=True, rng=drop_rng, lookup=row_lookup
             )
             per, w = model_per_example_loss(model, out, batch)
             tot_w = jax.lax.psum(jnp.sum(w), DATA_AXIS)
@@ -292,11 +300,12 @@ def build_sharded_sparse_multi_train_step(
     mesh,
     specs: Dict[str, Any],
     k: int,
+    inner_lookup=None,
 ):
     """K sharded sparse steps per dispatch (lax.scan inside shard_map) —
     same contract as train/sparse.build_sparse_multi_train_step."""
     pspec, ospec, mspec = specs["params"], specs["opt_state"], specs["mstate"]
-    step = _make_sparse_step_body(model, tx_dense, sopt)
+    step = _make_sparse_step_body(model, tx_dense, sopt, inner_lookup)
 
     def multi(params, opt_state, mstate, stacked, rng):
         subs = jax.random.split(rng, k)

@@ -175,14 +175,15 @@ std::string Base64(const std::string& in) {
 
 std::string ServingClient::httpRequest(const std::string& method,
                                        const std::string& path,
-                                       const std::string& body) {
+                                       const std::string& body,
+                                       const std::string& content_type) {
   last_error_.clear();
   int fd = Connect(host_, port_, &last_error_);
   if (fd < 0) return "";
   std::ostringstream req;
   req << method << " " << path << " HTTP/1.1\r\n"
       << "Host: " << host_ << "\r\n"
-      << "Content-Type: application/json\r\n"
+      << "Content-Type: " << content_type << "\r\n"
       << "Content-Length: " << body.size() << "\r\n"
       << "Connection: close\r\n\r\n"
       << body;
@@ -321,6 +322,198 @@ std::vector<double> ServingClient::callPredictExample(
       "POST", "/v1/models/" + model_name + ":predict", body.str());
   if (resp.empty()) return {};
   return parsePredictions(resp);
+}
+
+namespace {
+
+// ---- tensorflow.serving Predict protos, hand-encoded (field numbers
+// from tensor.proto / predict.proto / model.proto): the exact request
+// the reference builds via protobuf (deep_fm_serving_client.cpp:42-62).
+std::string TensorShape(const std::vector<long long>& dims) {
+  std::string shape;
+  for (long long d : dims) {
+    std::string dim;
+    dim.push_back(0x08);  // Dim.size = 1, varint
+    PutVarint(&dim, static_cast<unsigned long long>(d));
+    PutLenField(&shape, 2, dim);  // TensorShapeProto.dim = 2
+  }
+  return shape;
+}
+
+std::string Int64Tensor(const std::vector<std::vector<long long>>& m) {
+  std::string t;
+  t.push_back(0x08);  // dtype = 1, varint
+  PutVarint(&t, 9);   // DT_INT64
+  PutLenField(&t, 2, TensorShape({static_cast<long long>(m.size()),
+                                  static_cast<long long>(m.empty() ? 0 : m[0].size())}));
+  std::string packed;
+  for (const auto& row : m)
+    for (long long v : row) PutVarint(&packed, static_cast<unsigned long long>(v));
+  PutLenField(&t, 10, packed);  // int64_val, packed
+  return t;
+}
+
+std::string FloatTensor(const std::vector<std::vector<double>>& m) {
+  std::string t;
+  t.push_back(0x08);  // dtype = 1, varint
+  PutVarint(&t, 1);   // DT_FLOAT
+  PutLenField(&t, 2, TensorShape({static_cast<long long>(m.size()),
+                                  static_cast<long long>(m.empty() ? 0 : m[0].size())}));
+  std::string packed;
+  for (const auto& row : m) {
+    for (double d : row) {
+      float f = static_cast<float>(d);
+      char buf[4];
+      std::memcpy(buf, &f, 4);  // little-endian hosts
+      packed.append(buf, 4);
+    }
+  }
+  PutLenField(&t, 5, packed);  // float_val, packed
+  return t;
+}
+
+void PutInputEntry(std::string* req, const std::string& name,
+                   const std::string& tensor) {
+  std::string entry;
+  PutLenField(&entry, 1, name);
+  PutLenField(&entry, 2, tensor);
+  PutLenField(req, 2, entry);  // PredictRequest.inputs = 2
+}
+
+// Minimal proto scanner for the response: find outputs-map entries
+// (PredictResponse.outputs = 1) and pull packed float_val (field 5)
+// out of the first float tensor.
+unsigned long long ReadVarint(const std::string& buf, size_t* i) {
+  unsigned long long v = 0;
+  int shift = 0;
+  while (*i < buf.size()) {
+    unsigned char b = static_cast<unsigned char>(buf[(*i)++]);
+    v |= static_cast<unsigned long long>(b & 0x7F) << shift;
+    if (!(b & 0x80)) break;
+    shift += 7;
+  }
+  return v;
+}
+
+bool FindFloatOutputs(const std::string& msg, std::vector<double>* out) {
+  size_t i = 0;
+  while (i < msg.size()) {
+    unsigned long long key = ReadVarint(msg, &i);
+    int field = static_cast<int>(key >> 3), wire = static_cast<int>(key & 7);
+    if (wire == 2) {
+      unsigned long long len = ReadVarint(msg, &i);
+      if (i + len > msg.size()) return false;
+      std::string payload = msg.substr(i, len);
+      i += len;
+      if (field == 1) {  // outputs map entry { 1: key, 2: TensorProto }
+        size_t j = 0;
+        while (j < payload.size()) {
+          unsigned long long k2 = ReadVarint(payload, &j);
+          int f2 = static_cast<int>(k2 >> 3), w2 = static_cast<int>(k2 & 7);
+          if (w2 == 2) {
+            unsigned long long l2 = ReadVarint(payload, &j);
+            std::string inner = payload.substr(j, l2);
+            j += l2;
+            if (f2 == 2) {  // TensorProto
+              size_t t = 0;
+              while (t < inner.size()) {
+                unsigned long long k3 = ReadVarint(inner, &t);
+                int f3 = static_cast<int>(k3 >> 3),
+                    w3 = static_cast<int>(k3 & 7);
+                if (w3 == 2) {
+                  unsigned long long l3 = ReadVarint(inner, &t);
+                  if (f3 == 5 && l3 % 4 == 0) {  // packed float_val
+                    for (size_t p = 0; p + 4 <= l3; p += 4) {
+                      float f;
+                      std::memcpy(&f, inner.data() + t + p, 4);
+                      out->push_back(f);
+                    }
+                    if (!out->empty()) return true;
+                  }
+                  t += l3;
+                } else if (w3 == 0) {
+                  ReadVarint(inner, &t);
+                } else if (w3 == 5) {
+                  t += 4;
+                } else if (w3 == 1) {
+                  t += 8;
+                } else {
+                  return false;
+                }
+              }
+            }
+          } else if (w2 == 0) {
+            ReadVarint(payload, &j);
+          } else if (w2 == 5) {
+            j += 4;
+          } else if (w2 == 1) {
+            j += 8;
+          } else {
+            return false;
+          }
+        }
+      }
+    } else if (wire == 0) {
+      ReadVarint(msg, &i);
+    } else if (wire == 5) {
+      i += 4;
+    } else if (wire == 1) {
+      i += 8;
+    } else {
+      return false;
+    }
+  }
+  return !out->empty();
+}
+
+}  // namespace
+
+std::vector<double> ServingClient::callPredictGrpc(
+    const std::string& model_name,
+    const std::vector<std::vector<long long>>& feat_ids,
+    const std::vector<std::vector<double>>& feat_vals) {
+  // PredictRequest { 1: ModelSpec{1:name, 3:signature}, 2: inputs }
+  std::string spec;
+  PutLenField(&spec, 1, model_name);
+  PutLenField(&spec, 3, std::string("serving_default"));
+  std::string req;
+  PutLenField(&req, 1, spec);
+  PutInputEntry(&req, "feat_ids", Int64Tensor(feat_ids));
+  PutInputEntry(&req, "feat_vals", FloatTensor(feat_vals));
+
+  // grpc-web framing: flags byte 0 + 4-byte big-endian length + message
+  std::string body;
+  body.push_back('\x00');
+  for (int s = 24; s >= 0; s -= 8)
+    body.push_back(static_cast<char>((req.size() >> s) & 0xFF));
+  body += req;
+
+  std::string resp = httpRequest(
+      "POST", "/tensorflow.serving.PredictionService/Predict", body,
+      "application/grpc-web+proto");
+  if (resp.empty()) return {};
+
+  std::vector<double> out;
+  size_t i = 0;
+  while (i + 5 <= resp.size()) {
+    unsigned char flags = static_cast<unsigned char>(resp[i]);
+    unsigned long long len = 0;
+    for (int b = 1; b <= 4; ++b)
+      len = (len << 8) | static_cast<unsigned char>(resp[i + b]);
+    if (i + 5 + len > resp.size()) break;
+    std::string frame = resp.substr(i + 5, len);
+    i += 5 + len;
+    if (flags & 0x80) {  // trailers: check grpc-status
+      if (frame.find("grpc-status: 0") == std::string::npos) {
+        last_error_ = "grpc error: " + frame;
+        return {};
+      }
+    } else if (!FindFloatOutputs(frame, &out)) {
+      last_error_ = "no float outputs in PredictResponse";
+      return {};
+    }
+  }
+  return out;
 }
 
 std::string ServingClient::getModelStatus(const std::string& model_name) {

@@ -43,6 +43,18 @@ class ServingClient {
       const std::vector<std::vector<double>>& cont_features,
       const std::vector<std::vector<long long>>& cat_features);
 
+  // gRPC transport parity (deep_fm_serving_client.cpp:35-69): the same
+  // raw-tensor call as callPredict, but carried as a hand-encoded
+  // tensorflow.serving PredictRequest/PredictResponse proto pair over
+  // the grpc-web framing (POST /tensorflow.serving.PredictionService/
+  // Predict, application/grpc-web+proto) — the reference's wire format
+  // without a grpc++/protobuf dependency. The same server also exposes
+  // native gRPC/h2 for stock clients (serve/grpc_server.py).
+  std::vector<double> callPredictGrpc(
+      const std::string& model_name,
+      const std::vector<std::vector<long long>>& feat_ids,
+      const std::vector<std::vector<double>>& feat_vals);
+
   // Model status probe (GET /v1/models/<name>); returns raw JSON.
   std::string getModelStatus(const std::string& model_name);
 
@@ -53,7 +65,8 @@ class ServingClient {
 
   // One HTTP round trip; returns response body or "" on failure.
   std::string httpRequest(const std::string& method, const std::string& path,
-                          const std::string& body);
+                          const std::string& body,
+                          const std::string& content_type = "application/json");
   std::vector<double> parsePredictions(const std::string& json_body);
 
   std::string host_;

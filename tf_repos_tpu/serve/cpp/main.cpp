@@ -6,6 +6,10 @@
 //   ./ctr_client <host> <port> <model> example     — parsing-signature
 //       mode: one serialized tf.Example with I1..I13/C1..C26 features
 //       (wide_n_deep_serving_client.cpp parity)
+//   ./ctr_client <host> <port> <model> grpc [field_size] — gRPC
+//       transport mode: the same raw tensors as a hand-encoded
+//       PredictRequest over grpc-web framing
+//       (deep_fm_serving_client.cpp:35-69 parity)
 
 #include <cstdlib>
 #include <cstring>
@@ -18,7 +22,11 @@ int main(int argc, char** argv) {
   int port = argc > 2 ? std::atoi(argv[2]) : 8501;
   std::string model = argc > 3 ? argv[3] : "DeepFM";
   bool example_mode = argc > 4 && std::strcmp(argv[4], "example") == 0;
-  int field_size = (argc > 4 && !example_mode) ? std::atoi(argv[4]) : 39;
+  bool grpc_mode = argc > 4 && std::strcmp(argv[4], "grpc") == 0;
+  int field_size = argc > 5 && grpc_mode ? std::atoi(argv[5])
+                   : (argc > 4 && !example_mode && !grpc_mode)
+                       ? std::atoi(argv[4])
+                       : 39;
 
   auto client = tpu_ctr::ServingClient::Create(host, port);
 
@@ -45,7 +53,8 @@ int main(int argc, char** argv) {
     ids[0][f] = f + 1;
     if (f < 13) vals[0][f] = 0.5;
   }
-  auto preds = client->callPredict(model, ids, vals);
+  auto preds = grpc_mode ? client->callPredictGrpc(model, ids, vals)
+                         : client->callPredict(model, ids, vals);
   if (preds.empty()) {
     std::cerr << "predict failed: " << client->LastError() << "\n";
     return 1;

@@ -1,11 +1,17 @@
-"""HTTP prediction server with request micro-batching.
+"""HTTP + gRPC prediction server with request micro-batching.
 
-The online frontend replacing TF Serving (deep_ctr/README.md:57-76). The
-wire protocol is the TF-Serving REST API shape, so any client that spoke
-TF-Serving REST can switch with a URL change:
+The online frontend replacing TF Serving (deep_ctr/README.md:57-76).
+Three wire protocols over ONE micro-batcher, so any reference client can
+switch with a URL change:
 
   POST /v1/models/<name>:predict   {"instances": [ {input: value, ...} ]}
-      -> {"predictions": [...], "model_version": "<ts>"}
+      -> {"predictions": [...], "model_version": "<ts>"}   (REST)
+  POST /tensorflow.serving.PredictionService/Predict
+      application/grpc-web+proto framed PredictRequest     (grpc-web —
+      the C++ client's dependency-free gRPC call path over HTTP/1.1)
+  gRPC :<grpc_port> tensorflow.serving.PredictionService/Predict
+      (serve/grpc_server.py — the reference's exact transport,
+      deep_fm_serving_client.cpp:69; stock TF-Serving clients work)
   GET  /v1/models/<name>           model status + version
   GET  /healthz                    liveness
 
@@ -16,8 +22,9 @@ Here concurrent requests are coalesced by a micro-batcher (collect up to
 the TPU sees large static-bucket batches while clients see low latency.
 Version hot-reload is polled every ``reload_secs`` (TF-Serving parity).
 
-Dependency-free by design (stdlib http.server + json): the C++ client
-(serve/cpp/) speaks plain HTTP/1.1 with no grpc/protobuf requirement.
+The HTTP/1.1 side is dependency-free (stdlib http.server + json + the
+hand-rolled proto codecs): the C++ client (serve/cpp/) needs no
+grpc/protobuf libraries for either the REST or the grpc-web path.
 """
 
 from __future__ import annotations
@@ -122,10 +129,19 @@ class PredictionServer:
         max_batch: int = 512,
         max_wait_ms: float = 2.0,
         reload_secs: float = 30.0,
+        grpc_port: int = -1,  # >=0: also serve gRPC (0 = ephemeral port)
     ):
         self.scorer = Scorer(servable_dir)
         self.batcher = MicroBatcher(self.scorer, max_batch, max_wait_ms)
         self.model_name = self.scorer.signature["model"]
+        self.grpc_server = None
+        self.grpc_port = None
+        if grpc_port >= 0:
+            from tf_repos_tpu.serve.grpc_server import make_grpc_server
+
+            self.grpc_server, self.grpc_port = make_grpc_server(
+                self.scorer, self.batcher, host, grpc_port
+            )
         self.reload_secs = reload_secs
         self._stop = threading.Event()
         outer = self
@@ -179,7 +195,61 @@ class PredictionServer:
                 else:
                     self._reply(404, {"error": "not found"})
 
+            def _reply_grpc_web(self, msg: bytes, status: int = 0, detail: str = ""):
+                # grpc-web framing: DATA frame (flag 0x00) then TRAILERS
+                # frame (flag 0x80) carrying grpc-status/-message
+                trailer = f"grpc-status: {status}\r\n"
+                if detail:
+                    trailer += f"grpc-message: {detail}\r\n"
+                tb = trailer.encode()
+                body = b""
+                if msg:
+                    body += b"\x00" + len(msg).to_bytes(4, "big") + msg
+                body += b"\x80" + len(tb).to_bytes(4, "big") + tb
+                self.send_response(200)
+                self.send_header("Content-Type", "application/grpc-web+proto")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _do_grpc_web(self):
+                from tf_repos_tpu.serve.predict_proto import (
+                    decode_predict_request,
+                    encode_predict_response,
+                    instances_from_inputs,
+                )
+
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    body = self.rfile.read(length)
+                    if len(body) < 5 or body[0] & 0x80:
+                        raise ValueError("missing grpc-web DATA frame")
+                    n = int.from_bytes(body[1:5], "big")
+                    inputs, name, _sig = decode_predict_request(body[5 : 5 + n])
+                    if name and name != outer.model_name:
+                        self._reply_grpc_web(
+                            b"", status=5,  # NOT_FOUND
+                            detail=f"model {name!r} not found",
+                        )
+                        return
+                    names = list(outer.scorer.signature["inputs"].keys())
+                    out = outer.batcher.submit(
+                        instances_from_inputs(inputs, names)
+                    )
+                    msg = encode_predict_response(
+                        out, outer.model_name, version=int(outer.scorer.version)
+                    )
+                    self._reply_grpc_web(msg)
+                except Exception as e:
+                    self._reply_grpc_web(
+                        b"", status=3,  # INVALID_ARGUMENT
+                        detail=f"{type(e).__name__}: {e}",
+                    )
+
             def do_POST(self):
+                if self.path == "/tensorflow.serving.PredictionService/Predict":
+                    self._do_grpc_web()
+                    return
                 if not self.path.startswith("/v1/models/") or ":predict" not in self.path:
                     self._reply(404, {"error": "not found"})
                     return
@@ -242,12 +312,16 @@ class PredictionServer:
 
     def start(self):
         self._serve_thread.start()
+        if self.grpc_server is not None:
+            self.grpc_server.start()
         if self.reload_secs > 0:
             self._reload_thread.start()
 
     def stop(self):
         self._stop.set()
         self.httpd.shutdown()
+        if self.grpc_server is not None:
+            self.grpc_server.stop(grace=1).wait(2)
         self.batcher.stop()
 
     def serve_forever(self):
@@ -275,11 +349,17 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=512)
     p.add_argument("--max_wait_ms", type=float, default=2.0)
     p.add_argument("--reload_secs", type=float, default=30.0)
+    p.add_argument(
+        "--grpc_port", type=int, default=8500,
+        help="gRPC PredictionService port (TF-Serving's default); -1 disables",
+    )
     a = p.parse_args(argv)
     srv = PredictionServer(
-        a.servable_model_dir, a.host, a.port, a.max_batch, a.max_wait_ms, a.reload_secs
+        a.servable_model_dir, a.host, a.port, a.max_batch, a.max_wait_ms,
+        a.reload_secs, grpc_port=a.grpc_port,
     )
-    print(f"serving {srv.model_name} v{srv.scorer.version} on :{srv.port}")
+    grpc_note = f" grpc :{srv.grpc_port}" if srv.grpc_port is not None else ""
+    print(f"serving {srv.model_name} v{srv.scorer.version} on :{srv.port}{grpc_note}")
     srv.serve_forever()
 
 

@@ -103,12 +103,11 @@ class Harness:
                     "reconstructs the constant-id continuous block from "
                     "the same Criteo layout contract)"
                 )
-            if cfg.sparse_table_update:
-                raise ValueError(
-                    "--slim_transfer does not compose with "
-                    "--sparse_table_update (the host dedup mapper "
-                    "consumes full feat_ids)"
-                )
+            # composes with --sparse_table_update: the encoder runs
+            # AFTER the dedup mapper (see _dataset ordering), and the
+            # mapper's remap keeps position == id for the static prefix
+            # and vals untouched — both encoder contracts still hold on
+            # the remapped batch (data/slim_wire.py module docstring)
             if input_format(self.model) != "libsvm":
                 raise ValueError(
                     "--slim_transfer applies to libsvm-format models only"
@@ -146,13 +145,14 @@ class Harness:
             from tf_repos_tpu.data.sparse_batch import GlobalUidsUnion
 
             self._uids_union = GlobalUidsUnion(self._sparse_slots)
-        if cfg.static_fields and self._sparse_slots is not None and self.mesh is not None:
-            raise ValueError(
-                "--static_fields with --sparse_table_update is single-chip "
-                "only (the sharded psum lookup has no slice fast path); "
-                "on one chip they compose: SparseSlot.static seeds the "
-                "mapper so position == id for the static block"
-            )
+        # --static_fields composes with --sparse_table_update on one chip
+        # AND under a mesh: the sharded sparse step applies the model to
+        # the REPLICATED compact rows with a plain dense lookup
+        # (parallel/sparse_step.py), and the mapper's SparseSlot.static
+        # seeding keeps position == id for the static block — locally and
+        # after the multi-host GlobalUidsUnion (ascending union of sets
+        # that each contain the full prefix). Parity-tested in
+        # tests/test_sparse.py::test_sharded_sparse_static_fields_*.
         self._table_dtype = None
         if cfg.param_dtype not in ("float32", "f32", ""):
             if cfg.param_dtype not in ("bfloat16", "bf16"):
@@ -261,9 +261,10 @@ class Harness:
 
     def _pallas_expand_lookup(self):
         """Pallas VMEM expand/accumulate lookup when --pallas_expand is
-        set (single-chip sparse path; the sharded path keeps its
-        global-uids formulation)."""
-        if not self.cfg.pallas_expand or self.mesh is not None:
+        set — the sparse path's inner (remapped-id) lookup, both on one
+        chip and under a mesh (where the compact [S_pad,K] working set
+        is per-device replicated, so the kernel is purely local)."""
+        if not self.cfg.pallas_expand:
             return None
         from tf_repos_tpu.ops.pallas_sparse import make_vmem_expand_lookup
 
@@ -280,7 +281,8 @@ class Harness:
             )
 
             self._train_step = build_sharded_sparse_train_step(
-                self.model, self.tx, self._sparse_opt(), self.mesh, self._specs
+                self.model, self.tx, self._sparse_opt(), self.mesh, self._specs,
+                inner_lookup=self._pallas_expand_lookup(),
             )
         elif self.mesh is not None:
             from tf_repos_tpu.parallel.step import build_sharded_train_step
@@ -430,7 +432,8 @@ class Harness:
             )
 
             multi_step = build_sharded_sparse_multi_train_step(
-                self.model, self.tx, self._sparse_opt(), self.mesh, self._specs, K
+                self.model, self.tx, self._sparse_opt(), self.mesh, self._specs, K,
+                inner_lookup=self._pallas_expand_lookup(),
             )
         elif K > 1 and self.mesh is not None:
             from tf_repos_tpu.parallel.step import build_sharded_multi_train_step
@@ -725,11 +728,14 @@ class Harness:
             from tf_repos_tpu.parallel.step import unpad_params_like
 
             params = unpad_params_like(self.model, params)
+        # export the bare model: the slim wire format is a train-time
+        # host->device transfer optimization, not a serving signature
+        from tf_repos_tpu.data.slim_wire import SlimWireModel
+
+        model = self.model.inner if isinstance(self.model, SlimWireModel) else self.model
         return export_servable(
             cfg.servable_model_dir or os.path.join(self.model_dir, "servable"),
-            # export the bare model: the slim wire format is a train-time
-            # host->device transfer optimization, not a serving signature
-            getattr(self.model, "inner", self.model),
+            model,
             params,
             ts["mstate"],
         )
