@@ -1,0 +1,354 @@
+"""--mh_coo: host COO pack of sum-pooled multi-hot groups + device COO
+segment pool (data/sparse_batch.MhCooPacker, ops/pallas_sparse COO
+kernels, models/esmm.py COO branch).
+
+The padded [B, pad] multi-hot formulation pays one device row move per
+SLOT (measured 19.6 of 30.7 ms at pad=64, ~85-90% dead) — the COO form
+restores the reference's embedding_lookup_sparse cost model
+(DeepCvrMTL.py:152-164): work proportional to LIVE ids. These tests pin
+the exactness contract: COO pooling == the padded masked-einsum pooling
+to float tolerance, through values, grads, full sparse train steps,
+mesh sharding, and the harness.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_repos_tpu.config import Config
+from tf_repos_tpu.data.sparse_batch import (
+    MHC_DEST,
+    MHC_IDX,
+    MHC_W,
+    MhCooPacker,
+    SparseBatchMapper,
+)
+from tf_repos_tpu.data.synthetic import synthetic_aliccp_batch
+from tf_repos_tpu.models import create_model
+from tf_repos_tpu.ops import pallas_sparse as PS
+from tf_repos_tpu.ops.embedding import xla_coo_pool
+from tf_repos_tpu.train import sparse as SP
+from tf_repos_tpu.train.optimizers import make_optimizer
+
+
+def _esmm_cfg(**kw):
+    base = dict(
+        model="ESMM", feature_size=400, field_size=11, embedding_size=4,
+        deep_layers="8,4", dropout="1.0,1.0", batch_size=8,
+        learning_rate=0.05, l2_reg=0.0, optimizer="GD", multi_hot_pad=4,
+        sparse_table_update=True,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _aliccp_batches(cfg, n, pad=4, seed0=0):
+    return [
+        synthetic_aliccp_batch(
+            np.random.default_rng(seed0 + i), cfg.batch_size,
+            cfg.feature_size, multi_hot_pad=pad,
+        )
+        for i in range(n)
+    ]
+
+
+# ------------------------------------------------------------- kernels
+@pytest.mark.parametrize("m,s,g,k", [(1000, 64, 40, 17), (4096, 512, 160, 16)])
+def test_coo_pool_kernel_matches_reference(m, s, g, k):
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((s, k)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, s, size=(m,)), jnp.int32)
+    dest = jnp.asarray(rng.integers(0, g, size=(m,)), jnp.int32)
+    w = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    got = PS.coo_pool_rows(table, idx, dest, w, g, chunk=256, unroll=8)
+    want = PS.coo_pool_reference(table, idx, dest, w, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_coo_accumulate_kernel_matches_reference_transpose():
+    rng = np.random.default_rng(1)
+    m, s, g, k = 2048, 128, 60, 8
+    dp = jnp.asarray(rng.standard_normal((g, k)), jnp.float32)
+    # heavy idx duplication: strict read-modify-write ordering case
+    idx = jnp.asarray(np.minimum(rng.zipf(1.3, size=(m,)) - 1, s - 1), jnp.int32)
+    dest = jnp.asarray(rng.integers(0, g, size=(m,)), jnp.int32)
+    w = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    got = PS.coo_accumulate_rows(dp, idx, dest, w, s, chunk=256, unroll=8)
+    want = (
+        jnp.zeros((s, k), jnp.float32)
+        .at[idx]
+        .add(w[:, None] * dp[dest])
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_make_coo_pool_value_and_grad_match_xla():
+    rng = np.random.default_rng(2)
+    m, s, g, k = 700, 64, 30, 9
+    rows = jnp.asarray(rng.standard_normal((s, k)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, s, size=(m,)), jnp.int32)
+    dest = jnp.asarray(rng.integers(0, g, size=(m,)), jnp.int32)
+    w = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    probe = jnp.asarray(rng.standard_normal((g, k)), jnp.float32)
+    pool = PS.make_coo_pool(chunk=128, unroll=8)
+
+    def loss_pl(r):
+        return jnp.sum(pool(r, idx, dest, w, g) * probe)
+
+    def loss_xla(r):
+        return jnp.sum(xla_coo_pool(r, idx, dest, w, g) * probe)
+
+    v_pl, g_pl = jax.value_and_grad(loss_pl)(rows)
+    v_x, g_x = jax.value_and_grad(loss_xla)(rows)
+    np.testing.assert_allclose(float(v_pl), float(v_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_x), rtol=1e-5, atol=1e-5)
+
+
+def test_make_coo_pool_cap_falls_back_to_xla():
+    pool = PS.make_coo_pool()
+    rng = np.random.default_rng(3)
+    rows = jnp.asarray(rng.standard_normal((PS.VMEM_ROW_CAP + 8, 4)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, rows.shape[0], size=(16,)), jnp.int32)
+    dest = jnp.asarray(rng.integers(0, 6, size=(16,)), jnp.int32)
+    w = jnp.ones((16,), jnp.float32)
+    got = pool(rows, idx, dest, w, 6)
+    want = xla_coo_pool(rows, idx, dest, w, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+# -------------------------------------------------------------- packer
+def _padded_pooling(batch, table, groups):
+    """Reference pooling from the PADDED (pre-pack) arrays: the ESMM
+    masked-einsum sum combiner, per group."""
+    outs = []
+    for f, has_vals in groups:
+        ids = np.asarray(batch[f + "ids"])
+        mask = (ids > 0).astype(np.float32)
+        w = mask * np.asarray(batch[f + "vals"]) if has_vals else mask
+        outs.append(np.einsum("bpk,bp->bk", np.asarray(table)[ids], w))
+    return np.stack(outs, axis=1)  # [B, G, K]
+
+
+def test_packer_coo_equals_padded_pooling():
+    cfg = _esmm_cfg()
+    model = create_model(cfg)
+    groups = model.mh_coo_groups()
+    mapper = SparseBatchMapper(model.sparse_slots())
+    packer = MhCooPacker(groups)
+    rng = np.random.default_rng(4)
+    for b in _aliccp_batches(cfg, 3):
+        mapped = mapper(b)
+        # a "compact rows" table sized to the batch's uids bucket (the
+        # remapped ids index into it, like the sparse step's working set)
+        s_pad = mapped["__uids_emb"].shape[0]
+        table = rng.standard_normal((s_pad, 4)).astype(np.float32)
+        want = _padded_pooling(mapped, table, groups)
+        packed = packer(dict(mapped))
+        # padded fields are dropped from the wire
+        for f, _ in groups:
+            assert f + "ids" not in packed
+            assert f + "vals" not in packed
+        got = np.asarray(
+            xla_coo_pool(
+                jnp.asarray(table),
+                jnp.asarray(packed[MHC_IDX].reshape(-1)),
+                jnp.asarray(packed[MHC_DEST].reshape(-1)),
+                jnp.asarray(packed[MHC_W].reshape(-1)),
+                cfg.batch_size * len(groups),
+            )
+        ).reshape(cfg.batch_size, len(groups), -1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_packer_bucket_grows_monotonically_pow2():
+    cfg = _esmm_cfg(batch_size=16)
+    model = create_model(cfg)
+    packer = MhCooPacker(model.mh_coo_groups(), floor=8)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    sizes = []
+    for b in _aliccp_batches(cfg, 4, pad=8):
+        packed = packer(mapper(b))
+        m = packed[MHC_IDX].shape[-1]
+        sizes.append(m)
+        assert m & (m - 1) == 0  # pow2
+    assert sizes == sorted(sizes)  # monotonic
+
+
+def test_packer_n_data_shards_local_dest():
+    """n_data=2: each shard's COO slice pools exactly its half of the
+    batch with shard-local dest indices."""
+    cfg = _esmm_cfg(batch_size=8)
+    model = create_model(cfg)
+    groups = model.mh_coo_groups()
+    mapper = SparseBatchMapper(model.sparse_slots())
+    packer = MhCooPacker(groups, n_data=2)
+    rng = np.random.default_rng(5)
+    b = _aliccp_batches(cfg, 1)[0]
+    mapped = mapper(b)
+    table = rng.standard_normal(
+        (mapped["__uids_emb"].shape[0], 4)
+    ).astype(np.float32)
+    want = _padded_pooling(mapped, table, groups)  # [B, G, K]
+    packed = packer(dict(mapped))
+    assert packed[MHC_IDX].shape[0] == 2
+    bs = cfg.batch_size // 2
+    for s in range(2):
+        got = np.asarray(
+            xla_coo_pool(
+                jnp.asarray(table),
+                jnp.asarray(packed[MHC_IDX][s]),
+                jnp.asarray(packed[MHC_DEST][s]),
+                jnp.asarray(packed[MHC_W][s]),
+                bs * len(groups),
+            )
+        ).reshape(bs, len(groups), -1)
+        np.testing.assert_allclose(
+            got, want[s * bs : (s + 1) * bs], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_stack_batches_pads_coo_last_axis():
+    from tf_repos_tpu.train import loop as L
+
+    a = {MHC_IDX: np.ones((2, 8), np.int32), "y": np.zeros((4,), np.float32)}
+    b = {MHC_IDX: np.full((2, 16), 2, np.int32), "y": np.ones((4,), np.float32)}
+    stacked = L.stack_batches([a, b], {MHC_IDX: 0})
+    assert stacked[MHC_IDX].shape == (2, 2, 16)
+    assert (stacked[MHC_IDX][0, :, 8:] == 0).all()  # zero pad
+    assert (stacked[MHC_IDX][0, :, :8] == 1).all()
+
+
+# ------------------------------------------------- full step trajectories
+def _run_sparse_esmm(cfg, batches, coo: bool, lookup=None, steps_rng=100):
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    sopt = SP.make_sparse_row_optimizer(cfg.optimizer, cfg.learning_rate)
+    params, mstate = model.init(jax.random.PRNGKey(cfg.seed))
+    opt_state = SP.init_opt_state(model, tx, sopt, params)
+    step = SP.build_sparse_train_step(model, tx, sopt, lookup=lookup)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    packer = MhCooPacker(model.mh_coo_groups()) if coo else None
+    losses = []
+    for i, b in enumerate(batches):
+        mb = mapper(b)
+        if packer is not None:
+            mb = packer(mb)
+        params, opt_state, mstate, loss = step(
+            params, opt_state, mstate, mb, jax.random.PRNGKey(steps_rng + i)
+        )
+        losses.append(float(loss))
+    return params, losses
+
+
+@pytest.mark.parametrize("l2", [0.0, 1e-4])
+def test_sparse_step_coo_matches_padded(l2):
+    cfg = _esmm_cfg(optimizer="Adam", learning_rate=1e-2, l2_reg=l2)
+    batches = _aliccp_batches(cfg, 4)
+    p_coo, l_coo = _run_sparse_esmm(cfg, batches, coo=True)
+    p_pad, l_pad = _run_sparse_esmm(cfg, batches, coo=False)
+    np.testing.assert_allclose(l_coo, l_pad, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_coo), jax.tree.leaves(p_pad)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_sparse_step_coo_with_pallas_kernels_matches_padded():
+    cfg = _esmm_cfg(optimizer="Adam", learning_rate=1e-2, l2_reg=1e-4)
+    batches = _aliccp_batches(cfg, 2)
+    lookup = PS.make_vmem_expand_lookup(chunk=128, unroll=8)
+    p_coo, l_coo = _run_sparse_esmm(cfg, batches, coo=True, lookup=lookup)
+    p_pad, l_pad = _run_sparse_esmm(cfg, batches, coo=False)
+    np.testing.assert_allclose(l_coo, l_pad, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_coo), jax.tree.leaves(p_pad)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (2, 2)])
+def test_sharded_sparse_coo_matches_single_chip(mesh_shape):
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.parallel.sparse_step import (
+        ShardedSparseState,
+        build_sharded_sparse_train_step,
+    )
+
+    cfg = _esmm_cfg(optimizer="Adam", learning_rate=1e-2, l2_reg=1e-4,
+                    batch_size=16)
+    model = create_model(cfg)
+    batches = _aliccp_batches(cfg, 3)
+    groups = model.mh_coo_groups()
+
+    # single-chip reference trajectory (COO, n_data=1)
+    p_ref, l_ref = _run_sparse_esmm(cfg, [dict(b) for b in batches], coo=True)
+
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    sopt = SP.make_sparse_row_optimizer(
+        cfg.optimizer, cfg.learning_rate, sorted_indices=False
+    )
+    st = ShardedSparseState(model, tx, sopt, mesh)
+    state, specs = st.init(jax.random.PRNGKey(cfg.seed))
+    step = build_sharded_sparse_train_step(model, tx, sopt, mesh, specs)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    packer = MhCooPacker(groups, n_data=mesh_shape[0])
+    losses = []
+    for i, b in enumerate(batches):
+        mb = packer(mapper(b))
+        state, loss = step(state, st.place_batch(mb), jax.random.PRNGKey(100 + i))
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, l_ref, rtol=1e-4)
+    v = cfg.feature_size
+    emb = np.asarray(state["params"]["emb"])[:v]
+    np.testing.assert_allclose(
+        emb, np.asarray(p_ref["emb"]), rtol=1e-4, atol=1e-6
+    )
+
+
+# ------------------------------------------------------------- harness
+@pytest.mark.parametrize("spd", [1, 4])
+def test_harness_mh_coo_trajectory_matches_padded(tmp_path, spd):
+    """Full-harness ESMM training with --mh_coo == the padded multi-hot
+    path (same seed, same data): identical metrics to float tolerance,
+    with and without steps_per_dispatch stacking."""
+    from tf_repos_tpu.data.synthetic import write_synthetic_aliccp
+    from tf_repos_tpu.train.harness import run_task
+
+    d = tmp_path / "data"
+    d.mkdir()
+    write_synthetic_aliccp(str(d / "tr.samples.txt"), 256, feature_size=400, seed=0)
+    write_synthetic_aliccp(str(d / "va.samples.txt"), 64, feature_size=400, seed=1)
+
+    def run(mh_coo: bool, tag: str):
+        return run_task(Config(
+            model="ESMM", feature_size=400, field_size=11, embedding_size=4,
+            deep_layers="8,4", dropout="1.0,1.0", batch_size=32,
+            learning_rate=0.01, l2_reg=1e-4, optimizer="Adam",
+            num_epochs=1, multi_hot_pad=4, sparse_table_update=True,
+            mh_coo=mh_coo, data_dir=str(d), steps_per_dispatch=spd,
+            model_dir=str(tmp_path / tag), dt_dir="x", log_steps=4,
+            eval_throttle_secs=0, seed=7,
+        ))
+
+    m_coo = run(True, "coo")
+    m_pad = run(False, "pad")
+    assert m_coo["step"] == m_pad["step"]
+    assert abs(m_coo["loss"] - m_pad["loss"]) < 1e-4
+    for k in ("CTR_AUC", "CVR_AUC", "CTCVR_AUC"):
+        assert abs(m_coo[k] - m_pad[k]) < 1e-4
+
+
+def test_mh_coo_flag_validations(tmp_path):
+    from tf_repos_tpu.train.harness import Harness
+
+    with pytest.raises(ValueError, match="sparse_table_update"):
+        Harness(Config(model="ESMM", feature_size=100, field_size=11,
+                       embedding_size=4, deep_layers="8,4", dropout="1.0,1.0",
+                       mh_coo=True, model_dir=str(tmp_path), dt_dir="x"))
+    with pytest.raises(ValueError, match="multi-hot groups"):
+        Harness(Config(model="DeepFM", feature_size=100, field_size=39,
+                       embedding_size=4, deep_layers="8,4", dropout="1.0,1.0",
+                       mh_coo=True, sparse_table_update=True,
+                       model_dir=str(tmp_path), dt_dir="x"))

@@ -154,6 +154,19 @@ class Config:
     # each device, parallel/sparse_step.py); falls back to XLA at trace
     # time when S exceeds the VMEM capacity rule (e.g. uniform ids).
     pallas_expand: bool = False
+    # pack multi-hot (ragged) fields as a COO triplet of LIVE slots on
+    # the host (data/sparse_batch.MhCooPacker, prefetch thread) instead
+    # of padded [B, multi_hot_pad] arrays; the device pools them with a
+    # segment-sum whose cost is proportional to live ids, not padding
+    # (Pallas VMEM kernels under --pallas_expand, XLA .at[].add
+    # otherwise). The padded expand+accumulate was measured as 19.6 ms
+    # of the 30.7 ms pad-64 ESMM sparse step with ~85-90% dead slots —
+    # the reference never paid this (embedding_lookup_sparse consumes
+    # COO sp_ids, DeepCvrMTL.py:152-164). Requires sparse_table_update
+    # and a model with sum-pooled multi-hot groups (ESMM); also shrinks
+    # the host->device wire (~12 B per live slot vs 4-8 B per padded
+    # slot: 9.4 MB -> ~1.6 MB per pad-64 B=4096 batch).
+    mh_coo: bool = False
     # parse libsvm text once and memmap a packed binary sidecar
     # (<data_dir>/.packed_cache/, data/cache.py) on every later epoch and
     # run — the TFRecord-materialization role in the reference's pipeline.

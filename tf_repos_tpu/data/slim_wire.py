@@ -184,6 +184,9 @@ class SlimWireModel(CtrModel):
     def sparse_slots(self):
         return self.inner.sparse_slots()
 
+    def mh_coo_groups(self):
+        return self.inner.mh_coo_groups()
+
     def per_example_loss(self, out: Outputs, batch: Batch):
         return self.inner.per_example_loss(out, batch)
 

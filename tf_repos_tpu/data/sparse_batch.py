@@ -105,9 +105,89 @@ class SparseBatchMapper:
         return batch
 
 
-def mapped_batches(it: Iterable, mapper: SparseBatchMapper) -> Iterator:
+def mapped_batches(it: Iterable, mapper) -> Iterator:
     for b in it:
         yield mapper(b)
+
+
+MHC_IDX = "__mhc_idx"
+MHC_DEST = "__mhc_dest"
+MHC_W = "__mhc_w"
+
+
+class MhCooPacker:
+    """Padded multi-hot groups -> COO triplet of LIVE slots (--mh_coo).
+
+    The padded [B, pad] formulation pays one device row move per SLOT —
+    measured 19.6 ms of the 30.7 ms pad-64 ESMM sparse step while
+    ~85-90% of slots are dead padding (true lengths ~4-8). The reference
+    never paid this: tf.nn.embedding_lookup_sparse consumes COO sp_ids
+    (DeepCvrMTL.py:152-164). This packer restores that form on the host
+    (prefetch thread, after SparseBatchMapper so idx are remapped
+    positions and `id 0 <-> position 0` holds):
+
+      __mhc_idx  int32[n_data, M_pad]  table row (remapped position)
+      __mhc_dest int32[n_data, M_pad]  pooled row = b_local * n_groups + g
+      __mhc_w    f32[n_data, M_pad]    vals (val-bearing groups) or 1.0
+
+    and DROPS the padded ids/vals arrays — the wire then carries ~12 B
+    per live slot instead of 4-8 B per padded slot (9.4 MB -> ~1.6 MB per
+    pad-64 B=4096 batch). The leading axis is the DATA-SHARD axis
+    (n_data=1 on a single chip): each mesh data shard gets its own COO
+    slice with dest indices local to its batch rows, so the arrays ride
+    the standard leading-axis P("data") batch spec and per-shard padding
+    stays shard-aligned under steps_per_dispatch stacking (the model
+    flattens its local [1, M_pad] view). M_pad is shared across shards
+    and grows over pow2 buckets monotonically (same recompile-bounding
+    rule as the uids buckets); padded COO entries are idx=dest=0, w=0 —
+    they add exactly zero into pooled row 0. Device side:
+    ops/pallas_sparse.make_coo_pool (VMEM segment pool, cost ∝ live
+    slots) or the XLA .at[].add fallback — models/esmm.py."""
+
+    def __init__(self, groups, n_data: int = 1, floor: int = 1024):
+        if not groups:
+            raise ValueError("--mh_coo: model declares no multi-hot groups")
+        self.groups = tuple(groups)  # ((field, has_vals), ...)
+        self.n_data = max(int(n_data), 1)
+        self._bucket = max(int(floor), 1)
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        batch = dict(batch)
+        ids = [np.asarray(batch.pop(f + "ids")) for f, _ in self.groups]
+        p = ids[0].shape[1]
+        ws = []
+        for (f, has_vals), a in zip(self.groups, ids):
+            if has_vals:
+                v = np.asarray(batch.pop(f + "vals"))
+                ws.append(np.where(a > 0, v, 0.0).astype(np.float32))
+            else:
+                ws.append((a > 0).astype(np.float32))
+        allids = np.stack(ids, axis=1)  # [B, G, p]
+        allw = np.stack(ws, axis=1)
+        b = allids.shape[0]
+        nd = self.n_data
+        if b % nd:
+            raise ValueError(
+                f"--mh_coo: batch size {b} not divisible by the data-mesh "
+                f"size {nd}"
+            )
+        bs = b // nd
+        flat_ids = allids.reshape(nd, -1)  # [nd, Bs*G*p], row-major per shard
+        flat_w = allw.reshape(nd, -1)
+        lives = [np.flatnonzero(flat_ids[s] > 0) for s in range(nd)]
+        m_max = max((lv.size for lv in lives), default=0)
+        bucket = max(self._bucket, 1 << max(m_max - 1, 1).bit_length())
+        self._bucket = bucket
+        idx = np.zeros((nd, bucket), np.int32)
+        dest = np.zeros((nd, bucket), np.int32)
+        w = np.zeros((nd, bucket), np.float32)
+        for s, lv in enumerate(lives):
+            m = lv.size
+            idx[s, :m] = flat_ids[s][lv]
+            dest[s, :m] = (lv // p).astype(np.int32)  # b_local * G + g
+            w[s, :m] = flat_w[s][lv]
+        batch[MHC_IDX], batch[MHC_DEST], batch[MHC_W] = idx, dest, w
+        return batch
 
 
 class GlobalUidsUnion:
@@ -176,10 +256,18 @@ class GlobalUidsUnion:
             # batch carries
             from tf_repos_tpu.data.slim_wire import CAT_IDS
 
+            coo_owned = False
             for f in slot.fields:
                 if f in batch:
                     batch[f] = np.take(lp2gp, batch[f], mode="clip")
                 elif f == "feat_ids" and CAT_IDS in batch:
                     batch[CAT_IDS] = np.take(lp2gp, batch[CAT_IDS], mode="clip")
+                elif MHC_IDX in batch:
+                    # --mh_coo dropped the padded multi-hot fields; their
+                    # live slots ride the COO idx array (remap it once,
+                    # for the table that owns the packed fields)
+                    coo_owned = True
+            if coo_owned:
+                batch[MHC_IDX] = np.take(lp2gp, batch[MHC_IDX], mode="clip")
             batch[key] = guids
         return batch

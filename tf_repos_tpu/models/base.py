@@ -97,6 +97,14 @@ class CtrModel:
         has no huge tables / doesn't support the sparse path."""
         return {}
 
+    def mh_coo_groups(self):
+        """Multi-hot groups eligible for the host-side COO pack
+        (--mh_coo; data/sparse_batch.MhCooPacker): ((field, has_vals),
+        ...) in pooled-output order. Empty: the model keeps padded
+        multi-hot batches (e.g. DIN, whose attention needs the per-slot
+        sequence, not a sum-pool)."""
+        return ()
+
     # -------- provided
     def loss(
         self,

@@ -31,9 +31,17 @@ from tf_repos_tpu.models.base import (
 )
 from tf_repos_tpu.ops import metrics as M
 from tf_repos_tpu.ops import towers as T
-from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init
+from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init, xla_coo_pool
 
 USER_FIELDS = ("u_cat", "u_shop", "u_brand", "u_int")
+
+# --mh_coo group order (data/sparse_batch.MhCooPacker): 4 val-weighted
+# user behavior fields + the mask-only ad intention field. The COO dest
+# is b * len(groups) + group_index in THIS order.
+MH_COO_GROUPS = (
+    ("u_cat", True), ("u_shop", True), ("u_brand", True), ("u_int", True),
+    ("a_int", False),
+)
 
 
 class ESMM(CtrModel):
@@ -68,42 +76,82 @@ class ESMM(CtrModel):
     ) -> Tuple[Outputs, State]:
         cfg = self.cfg
         emb_t = params["emb"]
-        # ONE fused gather for every field: each separate lookup would
-        # materialize its own dense [V,K] cotangent in the backward pass —
-        # at Ali-CCP scale (4.5M rows) that is ~288MB of zero-init +
-        # scatter PER CALL SITE; fusing 9 call sites into one cuts the
-        # backward's table-sized traffic 9x.
-        p = batch["u_catids"].shape[1]
-        fc = batch["feat_ids"].shape[1]
-        all_ids = jnp.concatenate(
-            [
-                batch["feat_ids"],
-                *[batch[f"{f}ids"] for f in USER_FIELDS],
-                batch["a_catids"][:, None],
-                batch["a_shopids"][:, None],
-                batch["a_brandids"][:, None],
-                batch["a_intids"],
-            ],
-            axis=1,
-        )
-        rows = lookup(emb_t, all_ids)  # [B, fc+4p+3+p, K]
-        common = rows[:, :fc]  # unscaled (:154)
-        off = fc
-        pooled = []
-        for f in USER_FIELDS:
-            ids = batch[f"{f}ids"]
-            vals = batch[f"{f}vals"]
-            mask = (ids > 0).astype(rows.dtype)
-            demb = rows[:, off : off + p]
-            off += p
-            pooled.append(jnp.einsum("bpk,bp->bk", demb, mask * vals))  # sum combiner
+        from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_IDX, MHC_W
 
-        a_cat = rows[:, off]
-        a_shop = rows[:, off + 1]
-        a_brand = rows[:, off + 2]
-        off += 3
-        int_mask = (batch["a_intids"] > 0).astype(rows.dtype)
-        a_int = jnp.einsum("bpk,bp->bk", rows[:, off : off + p], int_mask)
+        fc = batch["feat_ids"].shape[1]
+        b = batch["feat_ids"].shape[0]
+        if MHC_IDX in batch:
+            # --mh_coo: the host packed the multi-hot groups' LIVE slots
+            # as a COO triplet (data/sparse_batch.MhCooPacker) — the
+            # padded [B,p] fields are not in the batch. One pooled
+            # segment-sum replaces the 5 padded expand+einsum legs; its
+            # device cost is proportional to live slots, not pad
+            # (ops/pallas_sparse.py COO-pool section; the reference's
+            # embedding_lookup_sparse consumed COO sp_ids too,
+            # DeepCvrMTL.py:152-164).
+            all_ids = jnp.concatenate(
+                [
+                    batch["feat_ids"],
+                    batch["a_catids"][:, None],
+                    batch["a_shopids"][:, None],
+                    batch["a_brandids"][:, None],
+                ],
+                axis=1,
+            )
+            rows = lookup(emb_t, all_ids)  # [B, fc+3, K]
+            common = rows[:, :fc]  # unscaled (:154)
+            a_cat = rows[:, fc]
+            a_shop = rows[:, fc + 1]
+            a_brand = rows[:, fc + 2]
+            ng = len(MH_COO_GROUPS)
+            pool = getattr(lookup, "coo_pool", xla_coo_pool)
+            # flatten the local [n_data_local, M_pad] view (1 data shard
+            # per device under a mesh; [1, M_pad] on a single chip)
+            pooled_all = pool(
+                emb_t,
+                batch[MHC_IDX].reshape(-1),
+                batch[MHC_DEST].reshape(-1),
+                batch[MHC_W].reshape(-1),
+                b * ng,
+            ).reshape(b, ng, -1).astype(rows.dtype)
+            pooled = [pooled_all[:, i] for i in range(len(USER_FIELDS))]
+            a_int = pooled_all[:, len(USER_FIELDS)]
+        else:
+            # ONE fused gather for every field: each separate lookup would
+            # materialize its own dense [V,K] cotangent in the backward
+            # pass — at Ali-CCP scale (4.5M rows) that is ~288MB of
+            # zero-init + scatter PER CALL SITE; fusing 9 call sites into
+            # one cuts the backward's table-sized traffic 9x.
+            p = batch["u_catids"].shape[1]
+            all_ids = jnp.concatenate(
+                [
+                    batch["feat_ids"],
+                    *[batch[f"{f}ids"] for f in USER_FIELDS],
+                    batch["a_catids"][:, None],
+                    batch["a_shopids"][:, None],
+                    batch["a_brandids"][:, None],
+                    batch["a_intids"],
+                ],
+                axis=1,
+            )
+            rows = lookup(emb_t, all_ids)  # [B, fc+4p+3+p, K]
+            common = rows[:, :fc]  # unscaled (:154)
+            off = fc
+            pooled = []
+            for f in USER_FIELDS:
+                ids = batch[f"{f}ids"]
+                vals = batch[f"{f}vals"]
+                mask = (ids > 0).astype(rows.dtype)
+                demb = rows[:, off : off + p]
+                off += p
+                pooled.append(jnp.einsum("bpk,bp->bk", demb, mask * vals))  # sum combiner
+
+            a_cat = rows[:, off]
+            a_shop = rows[:, off + 1]
+            a_brand = rows[:, off + 2]
+            off += 3
+            int_mask = (batch["a_intids"] > 0).astype(rows.dtype)
+            a_int = jnp.einsum("bpk,bp->bk", rows[:, off : off + p], int_mask)
 
         x = jnp.concatenate(
             [common.reshape(common.shape[0], -1), *pooled, a_cat, a_shop, a_brand, a_int],
@@ -189,3 +237,6 @@ class ESMM(CtrModel):
 
     def sparse_slots(self):
         return {"emb": SparseSlot(("feat_ids", "u_catids", "u_shopids", "u_brandids", "u_intids", "a_catids", "a_shopids", "a_brandids", "a_intids"), self.cfg.feature_size)}
+
+    def mh_coo_groups(self):
+        return MH_COO_GROUPS

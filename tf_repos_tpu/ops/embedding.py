@@ -38,6 +38,20 @@ def dense_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
     return table[ids]
 
 
+def xla_coo_pool(table: jax.Array, idx: jax.Array, dest: jax.Array,
+                 w: jax.Array, n_out: int) -> jax.Array:
+    """COO multi-hot segment pool, XLA form: out[d] = sum over
+    {r: dest[r]==d} of w[r] * table[idx[r]]. The default device combiner
+    for --mh_coo batches (data/sparse_batch.MhCooPacker); a lookup fn may
+    expose a faster drop-in as its ``coo_pool`` attribute (the Pallas
+    VMEM kernels of ops/pallas_sparse.make_coo_pool, reached via
+    --pallas_expand). Padded COO entries (idx=dest=0, w=0) contribute
+    w=0 rows — exactly zero — into output row 0, so padding is
+    harmless."""
+    rows = table[idx].astype(jnp.float32) * w.astype(jnp.float32)[:, None]
+    return jnp.zeros((n_out, table.shape[-1]), jnp.float32).at[dest].add(rows)
+
+
 def make_sharded_lookup(model_axis: str) -> LookupFn:
     """Lookup for use INSIDE shard_map where ``table`` is the local row
     shard. Shards must be equal-sized (pad the vocab to a multiple of the

@@ -245,6 +245,248 @@ def accumulate_rows(
     )(idx, g)
 
 
+# --------------------------------------------------------------- COO pool
+#
+# The multi-hot combiner (ESMM's sum-pool over user-behavior fields,
+# reference DeepCvrMTL.py:152-164 embedding_lookup_sparse) was measured
+# as the DOMINANT device cost at Ali-CCP scale: at pad=64 the padded
+# expand+accumulate over [B, 5*pad] slots is 19.6 ms of the 30.7 ms
+# sparse step (ablation, round 3) — and ~85-90% of those slots are DEAD
+# padding (true lengths ~4-8). The reference never paid for padding:
+# tf.nn.embedding_lookup_sparse consumes COO sp_ids. These kernels
+# restore that: the HOST packs live slots as a COO triplet
+# (idx, dest, w) — data/sparse_batch.MhCooPacker, pipelined on the
+# prefetch thread — and the device pools them with VMEM-resident
+# read-modify-writes whose cost is proportional to LIVE slots, not pad:
+#
+#   fwd  out[dest[i], :] += w[i] * table[idx[i], :]     out [G,K] pinned
+#   bwd  d_table[idx[i], :] += w[i] * d_out[dest[i], :] d_table [S,K] pinned
+#
+# Also slims the wire: [B, 5*pad] ids + [B, 4*pad] vals become ~3
+# values per LIVE slot (9.4 MB -> ~1.6 MB per pad-64 batch at B=4096).
+
+
+# the pooled output [G=B*n_groups, K] is pinned in VMEM alongside the
+# compact table; B=4096 * 5 groups = 20480 rows = 10 MB f32 at K<=128
+COO_OUT_CAP = 32_768
+
+
+def _coo_pool_kernel(idx_ref, dest_ref, w_ref, table_ref, out_ref, *, chunk: int, unroll: int):
+    """out[dest[r], :] += w[r] * table[idx[r], :] for one COO chunk; out
+    is VMEM-pinned across all grid steps (constant index map) and flushed
+    once. Padded COO entries carry idx=dest=0, w=0 — they add zero to
+    row 0. Duplicate dests inside an unrolled group are ordered VMEM
+    read-modify-writes on the same ref (Mosaic may not reorder them)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(j, carry):
+        r0 = j * unroll
+        for u in range(unroll):
+            r = r0 + u
+            i = idx_ref[r]
+            d = dest_ref[r]
+            out_ref[pl.ds(d, 1), :] = (
+                out_ref[pl.ds(d, 1), :] + w_ref[r] * table_ref[pl.ds(i, 1), :]
+            )
+        return carry
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+def _coo_pool_bwd_kernel(idx_ref, dest_ref, w_ref, dp_ref, out_ref, *, chunk: int, unroll: int):
+    """d_table[idx[r], :] += w[r] * dp[dest[r], :] — the AD transpose of
+    _coo_pool_kernel w.r.t. the table rows. dp ([G,K]) and the [S,K]
+    accumulator are both VMEM-pinned."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(j, carry):
+        r0 = j * unroll
+        for u in range(unroll):
+            r = r0 + u
+            i = idx_ref[r]
+            d = dest_ref[r]
+            out_ref[pl.ds(i, 1), :] = (
+                out_ref[pl.ds(i, 1), :] + w_ref[r] * dp_ref[pl.ds(d, 1), :]
+            )
+        return carry
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_out", "chunk", "unroll", "interpret")
+)
+def coo_pool_rows(
+    table: jax.Array,  # [S, K] float
+    idx: jax.Array,  # [M] int32, values in [0, S)
+    dest: jax.Array,  # [M] int32, values in [0, n_out)
+    w: jax.Array,  # [M] float32 per-slot weights (vals * live mask)
+    n_out: int,
+    chunk: int = 8192,
+    unroll: int = 16,
+    interpret: bool | None = None,
+) -> jax.Array:  # [n_out, K] float32
+    """Pallas COO segment pool: out[d] = sum over {r: dest[r]==d} of
+    w[r] * table[idx[r]]. See the COO-pool section comment."""
+    S, K = table.shape
+    vma = (
+        jax.typeof(idx).vma | jax.typeof(dest).vma | jax.typeof(w).vma
+        | jax.typeof(table).vma
+    )
+    interpret, chunk, unroll = _resolve_interpret(interpret, vma, chunk, unroll)
+    (M,) = idx.shape
+    Mp = _round_up(max(M, chunk), chunk)
+    if Mp != M:
+        # padded entries: idx=dest=0, w=0 -> add zero into out row 0
+        idx = jnp.pad(idx, (0, Mp - M))
+        dest = jnp.pad(dest, (0, Mp - M))
+        w = jnp.pad(w, (0, Mp - M))
+    table = table.astype(jnp.float32)
+    w = w.astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_coo_pool_kernel, chunk=chunk, unroll=unroll),
+        grid=(Mp // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, K), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_out, K), lambda c: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_out, K), jnp.float32, vma=vma),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(idx, dest, w, table)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "chunk", "unroll", "interpret")
+)
+def coo_accumulate_rows(
+    dp: jax.Array,  # [G, K] float cotangent of the pooled output
+    idx: jax.Array,  # [M] int32
+    dest: jax.Array,  # [M] int32
+    w: jax.Array,  # [M] float32
+    s: int,
+    chunk: int = 8192,
+    unroll: int = 16,
+    interpret: bool | None = None,
+) -> jax.Array:  # [s, K] float32
+    """d_table[i] = sum over {r: idx[r]==i} of w[r] * dp[dest[r]] — the
+    AD transpose of coo_pool_rows."""
+    vma = (
+        jax.typeof(idx).vma | jax.typeof(dest).vma | jax.typeof(w).vma
+        | jax.typeof(dp).vma
+    )
+    interpret, chunk, unroll = _resolve_interpret(interpret, vma, chunk, unroll)
+    (M,) = idx.shape
+    Mp = _round_up(max(M, chunk), chunk)
+    if Mp != M:
+        idx = jnp.pad(idx, (0, Mp - M))
+        dest = jnp.pad(dest, (0, Mp - M))
+        w = jnp.pad(w, (0, Mp - M))
+    G, K = dp.shape
+    dp = dp.astype(jnp.float32)
+    w = w.astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_coo_pool_bwd_kernel, chunk=chunk, unroll=unroll),
+        grid=(Mp // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, K), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (s, K), lambda c: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, K), jnp.float32, vma=vma),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(idx, dest, w, dp)
+
+
+def coo_pool_reference(table, idx, dest, w, n_out: int) -> jax.Array:
+    """XLA baseline / fallback for coo_pool_rows (autodiff provides the
+    transpose). Used for tests, the CPU rig, and above-cap shapes."""
+    rows = table[idx].astype(jnp.float32) * w.astype(jnp.float32)[:, None]
+    return jnp.zeros((n_out, table.shape[-1]), jnp.float32).at[dest].add(rows)
+
+
+def make_coo_pool(chunk: int = 8192, unroll: int = 16):
+    """pool(rows, idx, dest, w, n_out) -> [n_out, K] f32 with the Pallas
+    kernels above; trace-time XLA fallback when the compact table or the
+    pooled output exceeds the VMEM caps. custom_vjp: the cotangent flows
+    to the TABLE ROWS only — idx/dest are ints, and w is batch DATA (the
+    multi-hot vals), never a differentiation target in any step builder;
+    its returned cotangent is zeros.
+
+    Inside shard_map(check_vma=True) the bwd psums d_rows over the mesh
+    axes the COO arrays vary on but the replicated rows do not (the
+    pbroadcast transpose JAX cannot see through a custom_vjp) — same
+    plumbing as make_vmem_expand_lookup."""
+
+    def _make(extra_axes):
+        @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+        def pool(rows, idx, dest, w, n_out):
+            return coo_pool_rows(
+                rows, idx, dest, w, n_out, chunk=chunk, unroll=unroll
+            )
+
+        def fwd(rows, idx, dest, w, n_out):
+            return pool(rows, idx, dest, w, n_out), (idx, dest, w, rows.shape)
+
+        def bwd(n_out, res, ct):
+            idx, dest, w, (s, k) = res
+            d_rows = coo_accumulate_rows(
+                ct, idx, dest, w, s, chunk=chunk, unroll=unroll
+            )
+            if extra_axes:
+                d_rows = jax.lax.psum(d_rows, extra_axes)
+            return (
+                d_rows,
+                np.zeros(idx.shape, jax.dtypes.float0),
+                np.zeros(dest.shape, jax.dtypes.float0),
+                jnp.zeros_like(w),
+            )
+
+        pool.defvjp(fwd, bwd)
+        return pool
+
+    cache = {}
+
+    def pool(rows, idx, dest, w, n_out: int):
+        if not fits_vmem(rows.shape[0]) or n_out > COO_OUT_CAP:
+            return coo_pool_reference(rows, idx, dest, w, n_out)
+        extra = tuple(
+            sorted(
+                (jax.typeof(idx).vma | jax.typeof(w).vma)
+                - jax.typeof(rows).vma
+            )
+        )
+        if extra not in cache:
+            cache[extra] = _make(extra)
+        return cache[extra](rows, idx, dest, w, n_out)
+
+    return pool
+
+
 def expand_reference(table: jax.Array, idx: jax.Array) -> jax.Array:
     """XLA baseline for expand_rows (tests / fallback)."""
     return jnp.take(table, idx, axis=0)
@@ -321,4 +563,7 @@ def make_vmem_expand_lookup(chunk: int = 8192, unroll: int = 16):
         return cache[extra](rows, ids)
 
     lookup.static_slice_ok = True
+    # the COO multi-hot pool rides the same opt-in: models reach it via
+    # getattr(lookup, "coo_pool", xla default) — see models/esmm.py
+    lookup.coo_pool = make_coo_pool(chunk=chunk, unroll=unroll)
     return lookup

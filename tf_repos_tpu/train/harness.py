@@ -136,6 +136,31 @@ class Harness:
                     f"WARNING: --sparse_table_update: {self.model.name} "
                     "declares no sparse tables; using the dense path"
                 )
+        # --mh_coo: host-side COO pack of the sum-pooled multi-hot groups
+        # (data/sparse_batch.MhCooPacker) — device pooling cost scales
+        # with LIVE slots, not multi_hot_pad
+        self._mh_coo_groups = None
+        if cfg.mh_coo:
+            if self._sparse_slots is None:
+                raise ValueError(
+                    "--mh_coo requires --sparse_table_update (the COO idx "
+                    "are remapped positions into the batch's unique rows)"
+                )
+            groups = self.model.mh_coo_groups()
+            if not groups:
+                raise ValueError(
+                    f"--mh_coo: {self.model.name} declares no sum-pooled "
+                    "multi-hot groups (DIN's attention needs the padded "
+                    "sequence; libsvm/csv models have no ragged fields)"
+                )
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "--mh_coo is single-process (multi-chip OK): the COO "
+                    "pow2 buckets would need a cross-host size consensus "
+                    "like GlobalUidsUnion; drop the flag for multi-host "
+                    "runs (the padded multi-hot path is multi-host-safe)"
+                )
+            self._mh_coo_groups = groups
         # multi-host sparse: the sharded sparse step replicates the GLOBAL
         # unique-id set, but each host's loader dedups only its local batch
         # slice -> union the sets across hosts (collectives, so it must run
@@ -392,6 +417,18 @@ class Harness:
             ds = mapped_batches(
                 ds, SparseBatchMapper(self._sparse_slots, pad_mode=cfg.sparse_pad_mode)
             )
+            if self._mh_coo_groups is not None:
+                # after the mapper: the COO idx are remapped positions;
+                # one COO slice per data shard (dest local to the shard)
+                from tf_repos_tpu.data.sparse_batch import MhCooPacker
+                from tf_repos_tpu.parallel.step import DATA_AXIS
+
+                n_data = (
+                    self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+                )
+                ds = mapped_batches(
+                    ds, MhCooPacker(self._mh_coo_groups, n_data=n_data)
+                )
         if cfg.slim_transfer:
             # host-side encode to the slim wire format, on the prefetch
             # thread; the SlimWireModel decodes on-device inside the step
@@ -489,6 +526,16 @@ class Harness:
                         UIDS_PREFIX + t: s.vocab
                         for t, s in self._sparse_slots.items()
                     }
+                    if self._mh_coo_groups is not None:
+                        # COO buckets may also grow mid-group; zero
+                        # padding (idx=dest=0, w=0) adds exactly zero
+                        from tf_repos_tpu.data.sparse_batch import (
+                            MHC_DEST, MHC_IDX, MHC_W,
+                        )
+
+                        sentinels.update(
+                            {MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0}
+                        )
                     if self._uids_union is not None:
                         # per-batch global uid union BEFORE stacking, in
                         # group order (same host-collective sequence on

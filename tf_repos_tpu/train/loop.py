@@ -82,12 +82,14 @@ def build_multi_train_step(
 def stack_batches(batches, uid_sentinels: Optional[Dict[str, int]] = None) -> Dict[str, Any]:
     """[{k: [B,...]}] * K -> {k: [K,B,...]} (one transfer per field).
 
-    uid_sentinels: {"__uids_<table>": vocab} — __uids_* arrays may differ
-    in length within a group when the sparse mapper's pow2 bucket grew
-    mid-group (data/sparse_batch.py); shorter ones are padded to the
-    group max with the table's sentinel (vocab = strictly out of range,
-    so the padding rows are dropped by the device-side scatter exactly
-    like the mapper's own sentinels)."""
+    uid_sentinels: {"__uids_<table>": vocab, "__mhc_*": 0} — bucketed
+    arrays (uids, COO triplets) may differ in LAST-axis length within a
+    group when the host mapper's pow2 bucket grew mid-group
+    (data/sparse_batch.py); shorter ones are padded along the last axis
+    to the group max with the given pad value (vocab = strictly out of
+    range for uids, dropped by the device-side scatter; 0 for the COO
+    triplet, which adds exactly zero). Last-axis padding keeps the COO
+    arrays' per-data-shard layout intact."""
     import numpy as np
 
     sentinels = uid_sentinels or {}
@@ -95,10 +97,14 @@ def stack_batches(batches, uid_sentinels: Optional[Dict[str, int]] = None) -> Di
     for k in batches[0].keys():
         arrs = [b[k] for b in batches]
         if k in sentinels:
-            m = max(a.shape[0] for a in arrs)
+            m = max(a.shape[-1] for a in arrs)
             arrs = [
-                np.concatenate([a, np.full(m - a.shape[0], sentinels[k], a.dtype)])
-                if a.shape[0] < m
+                np.pad(
+                    a,
+                    [(0, 0)] * (a.ndim - 1) + [(0, m - a.shape[-1])],
+                    constant_values=sentinels[k],
+                )
+                if a.shape[-1] < m
                 else a
                 for a in arrs
             ]
