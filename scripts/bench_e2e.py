@@ -35,13 +35,29 @@ def main(argv=None):
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--feature_size", type=int, required=True)
     ap.add_argument("--model_dir", default="/tmp/bench_e2e_model")
-    ap.add_argument("--batch_size", type=int, default=16384)
+    ap.add_argument("--batch_size", type=int, default=0, help="0 = per-model default")
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--steps_per_dispatch", type=int, default=8)
+    ap.add_argument(
+        "--model", default="deepfm", choices=["deepfm", "esmm"],
+        help="esmm = the large-vocab Ali-CCP cell (expects tr.samples.txt "
+        "in --data_dir; DeepMTL's '20 GB, very slow' pain point)",
+    )
+    ap.add_argument("--multi_hot_pad", type=int, default=16)
     ap.add_argument(
         "--sparse", action="store_true",
         help="sparse_table_update + pallas_expand (the 2.27M ex/s "
         "device-step configuration; bench.py measures its device side)",
+    )
+    ap.add_argument(
+        "--no_pallas", action="store_true",
+        help="with --sparse: keep the XLA inner lookup (the round-2 "
+        "ESMM baseline configuration)",
+    )
+    ap.add_argument(
+        "--mh_coo", action="store_true",
+        help="COO multi-hot pack (--mh_coo): device pooling cost "
+        "proportional to live ids, not multi_hot_pad",
     )
     ap.add_argument(
         "--slim", action="store_true",
@@ -54,18 +70,34 @@ def main(argv=None):
     from tf_repos_tpu.config import Config
     from tf_repos_tpu.train.harness import run_task
 
-    cfg = Config(
-        model="DeepFM", feature_size=a.feature_size, field_size=39,
-        embedding_size=16, deep_layers="256,128,64", dropout="0.9,0.9,0.9",
-        batch_size=a.batch_size, num_epochs=a.epochs, log_steps=50,
-        learning_rate=2e-3, l2_reg=1e-5, optimizer="Adam",
-        data_dir=a.data_dir, model_dir=a.model_dir, dt_dir="e2e",
-        eval_throttle_secs=0, clear_existing_model=True,
-        compute_dtype="bfloat16", static_fields=13,
-        steps_per_dispatch=a.steps_per_dispatch, packed_cache=True,
-        sparse_table_update=a.sparse, pallas_expand=a.sparse,
-        slim_transfer=a.slim,
-    )
+    if a.model == "esmm":
+        cfg = Config(
+            model="ESMM", feature_size=a.feature_size, field_size=11,
+            embedding_size=16, deep_layers="256,128,64", dropout="0.9,0.9,0.9",
+            batch_size=a.batch_size or 4096, num_epochs=a.epochs, log_steps=50,
+            learning_rate=5e-4, l2_reg=1e-5, optimizer="Adam",
+            data_dir=a.data_dir, model_dir=a.model_dir, dt_dir="e2e",
+            eval_throttle_secs=0, clear_existing_model=True,
+            compute_dtype="bfloat16", multi_hot_pad=a.multi_hot_pad,
+            steps_per_dispatch=a.steps_per_dispatch, packed_cache=True,
+            sparse_table_update=a.sparse,
+            pallas_expand=a.sparse and not a.no_pallas,
+            fused_moments=a.sparse, mh_coo=a.mh_coo, slim_transfer=a.slim,
+            param_dtype="bfloat16" if a.sparse else "float32",
+        )
+    else:
+        cfg = Config(
+            model="DeepFM", feature_size=a.feature_size, field_size=39,
+            embedding_size=16, deep_layers="256,128,64", dropout="0.9,0.9,0.9",
+            batch_size=a.batch_size or 16384, num_epochs=a.epochs, log_steps=50,
+            learning_rate=2e-3, l2_reg=1e-5, optimizer="Adam",
+            data_dir=a.data_dir, model_dir=a.model_dir, dt_dir="e2e",
+            eval_throttle_secs=0, clear_existing_model=True,
+            compute_dtype="bfloat16", static_fields=13,
+            steps_per_dispatch=a.steps_per_dispatch, packed_cache=True,
+            sparse_table_update=a.sparse, pallas_expand=a.sparse,
+            slim_transfer=a.slim,
+        )
     t0 = time.time()
     m = run_task(cfg)
     wall = time.time() - t0
@@ -87,15 +119,17 @@ def main(argv=None):
                 if "examples_per_sec" in rec:
                     rates.append(rec["examples_per_sec"])
     out = {
-        "metric": "deepfm_criteo_e2e_cli_examples_per_sec",
+        "metric": f"{a.model}_e2e_cli_examples_per_sec",
         "value": round(statistics.median(rates), 1) if rates else None,
         "unit": "examples/sec",
         "windows": len(rates),
         "p90": round(sorted(rates)[int(0.9 * (len(rates) - 1))], 1) if rates else None,
         "wall_s": round(wall, 1),
-        "auc": round(m.get("auc", float("nan")), 4),
-        "batch": a.batch_size,
+        "auc": round(m.get("auc", m.get("CTCVR_AUC", float("nan"))), 4),
+        "batch": cfg.batch_size,
         "epochs": a.epochs,
+        "flags": {k: getattr(a, k) for k in
+                  ("sparse", "no_pallas", "mh_coo", "slim", "multi_hot_pad")},
     }
     print(json.dumps(out))
 

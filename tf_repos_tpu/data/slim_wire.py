@@ -121,6 +121,148 @@ def encoding_batches(it, sf: int):
         yield encode_batch(b, sf)
 
 
+# ----------------------------------------------------------- Ali-CCP wire
+#
+# The Ali-CCP padded batch moves ~650 B/example at pad=16 (and ~2 KB at
+# pad=64) — measured input-link-bound through the dev tunnel exactly
+# like the Criteo layout was. Three classes of those bytes are
+# reconstructible on device:
+#
+#   * multi-hot VALS that are exactly the live mask (vals == (ids > 0)):
+#     the remap pipeline passes raw Ali-CCP values through
+#     (get_remap_mapper.py:35-38), and categorical list fields carry 1.0
+#     — the encoder COMMITS the per-field contract on the first batch
+#     and validates every later batch (loud failure, never silent);
+#     under --mh_coo the packed w is reconstructible as (idx > 0)
+#     because id 0 always keeps position 0 (data/sparse_batch.py);
+#   * id widths: remapped positions are < the uids bucket size, so
+#     int32 id fields narrow to uint16 whenever the bucket (or, dense
+#     path, the vocab) fits — the bucket size is part of the batch
+#     SHAPE, so the dtype is trace-stable per bucket;
+#   * the "label" alias (always == y for Ali-CCP readers).
+
+ALICCP_VAL_GROUPS = ("u_cat", "u_shop", "u_brand", "u_int")
+ALICCP_ID_FIELDS = (
+    "feat_ids", "a_catids", "a_shopids", "a_brandids", "a_intids",
+    "u_catids", "u_shopids", "u_brandids", "u_intids",
+)
+_U16_MAX = np.iinfo(np.uint16).max
+
+
+class AliccpSlimEncoder:
+    """Host-side Ali-CCP slim encoder (prefetch thread; runs AFTER the
+    dedup mapper and the --mh_coo packer, whose outputs it narrows).
+
+    vocab: the id bound for non-mapped batches (cfg.feature_size)."""
+
+    def __init__(self, vocab: int):
+        self.vocab = int(vocab)
+        self._drop: Optional[Dict[str, bool]] = None
+        self._drop_w: Optional[bool] = None
+        self._narrow_dest: Optional[bool] = None
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_IDX, MHC_W
+        from tf_repos_tpu.train.sparse import UIDS_PREFIX
+
+        batch = dict(batch)
+        batch.pop("label", None)  # alias of y, re-established on device
+
+        # ---- multi-hot vals (padded path): drop the binary ones
+        present = [f for f in ALICCP_VAL_GROUPS if f + "vals" in batch]
+        if self._drop is None:
+            self._drop = {
+                f: bool(
+                    np.array_equal(
+                        np.asarray(batch[f + "vals"]),
+                        (np.asarray(batch[f + "ids"]) > 0).astype(np.float32),
+                    )
+                )
+                for f in present
+            }
+        for f in present:
+            if not self._drop.get(f, False):
+                continue
+            ids = np.asarray(batch[f + "ids"])
+            vals = np.asarray(batch.pop(f + "vals"))
+            if not np.array_equal(vals, (ids > 0).astype(np.float32)):
+                raise ValueError(
+                    f"--slim_transfer: {f}vals stopped being the binary "
+                    "live mask mid-run (first batch committed it as "
+                    "droppable); this input mixes real-valued and binary "
+                    "batches for the field — disable --slim_transfer"
+                )
+
+        # ---- COO w (mh_coo path): reconstructible as (idx > 0)
+        if MHC_W in batch:
+            idx = np.asarray(batch[MHC_IDX])
+            w = np.asarray(batch[MHC_W])
+            live = (idx > 0).astype(np.float32)
+            if self._drop_w is None:
+                self._drop_w = bool(np.array_equal(w, live))
+            if self._drop_w:
+                if not np.array_equal(w, live):
+                    raise ValueError(
+                        "--slim_transfer: __mhc_w stopped being the binary "
+                        "live mask mid-run; disable --slim_transfer"
+                    )
+                del batch[MHC_W]
+
+        # ---- id narrowing: positions < uids bucket (mapped batches) or
+        # raw ids < vocab (dense batches); both are trace-stable bounds
+        uids_keys = [k for k in batch if k.startswith(UIDS_PREFIX)]
+        bound = (
+            min(batch[k].shape[-1] for k in uids_keys)
+            if uids_keys
+            else self.vocab
+        )
+        if bound <= _U16_MAX:
+            for f in ALICCP_ID_FIELDS:
+                if f in batch:
+                    batch[f] = np.asarray(batch[f]).astype(np.uint16)
+            if MHC_IDX in batch:
+                batch[MHC_IDX] = np.asarray(batch[MHC_IDX]).astype(np.uint16)
+        if MHC_DEST in batch:
+            dest = np.asarray(batch[MHC_DEST])
+            if self._narrow_dest is None:
+                # dest < B_local * n_groups, constant per run
+                self._narrow_dest = bool(dest.max(initial=0) <= _U16_MAX)
+            if self._narrow_dest:
+                batch[MHC_DEST] = dest.astype(np.uint16)
+        return batch
+
+
+def decode_aliccp_batch(batch: Batch) -> Batch:
+    """Ali-CCP slim wire -> full batch (pure jnp; runs inside jit). The
+    reconstruction is keyed entirely off the batch structure: uint16
+    arrays widen to int32, absent vals rebuild as the live mask, the
+    label alias rebuilds from y — full (non-slim) batches pass through
+    unchanged."""
+    from tf_repos_tpu.data.sparse_batch import MHC_IDX, MHC_W
+
+    out = {
+        k: (v.astype(jnp.int32) if v.dtype == jnp.uint16 else v)
+        for k, v in batch.items()
+    }
+    for f in ALICCP_VAL_GROUPS:
+        if f + "ids" in out and f + "vals" not in out:
+            out[f + "vals"] = (out[f + "ids"] > 0).astype(jnp.float32)
+    if MHC_IDX in out and MHC_W not in out:
+        out[MHC_W] = (out[MHC_IDX] > 0).astype(jnp.float32)
+    if "label" not in out and "y" in out:
+        out["label"] = out["y"]
+    return out
+
+
+def aliccp_encoding_batches(it, vocab: int):
+    """Wrap a batch iterator with the Ali-CCP slim encoder (one encoder
+    per iterator: the droppable-vals contract is committed on the first
+    batch and enforced afterwards)."""
+    enc = AliccpSlimEncoder(vocab)
+    for b in it:
+        yield enc(b)
+
+
 class SlimWireModel(CtrModel):
     """Decorator model: decodes the slim wire batch on-device, then
     delegates to the wrapped model. Because every step builder
@@ -129,11 +271,16 @@ class SlimWireModel(CtrModel):
     into the SAME dispatch — no extra device round trip, and the
     host→device transfer moves only the slim arrays."""
 
-    def __init__(self, inner: CtrModel):
+    def __init__(self, inner: CtrModel, decode=None):
         super().__init__(inner.cfg)
         self.inner = inner
         self.name = inner.name  # instance attr shadows the class attr
         self._sf = inner.cfg.static_fields
+        # format-specific decode: Criteo libsvm layout by default,
+        # decode_aliccp_batch for the Ali-CCP models (harness picks)
+        self._decode = decode if decode is not None else (
+            lambda b: decode_batch(b, self._sf)
+        )
 
     # decode seam
     def apply(
@@ -147,7 +294,7 @@ class SlimWireModel(CtrModel):
         lookup=dense_lookup,
     ) -> Tuple[Outputs, State]:
         return self.inner.apply(
-            params, state, decode_batch(batch, self._sf),
+            params, state, self._decode(batch),
             train=train, rng=rng, lookup=lookup,
         )
 
@@ -165,7 +312,7 @@ class SlimWireModel(CtrModel):
         # self.apply): a model that OVERRIDES loss (e.g. a multi-task
         # joint loss) must see its own loss, not the base one
         return self.inner.loss(
-            params, state, decode_batch(batch, self._sf),
+            params, state, self._decode(batch),
             train=train, rng=rng, lookup=lookup,
         )
 
@@ -188,10 +335,14 @@ class SlimWireModel(CtrModel):
         return self.inner.mh_coo_groups()
 
     def per_example_loss(self, out: Outputs, batch: Batch):
-        return self.inner.per_example_loss(out, batch)
+        # decode first: the eval/predict steps hand these the RAW wire
+        # batch (e.g. the Ali-CCP wire drops the label alias); decoding
+        # is idempotent on full batches and XLA CSEs the duplicate with
+        # the loss-path decode
+        return self.inner.per_example_loss(out, self._decode(batch))
 
     def eval_metrics(self, out: Outputs, batch: Batch):
-        return self.inner.eval_metrics(out, batch)
+        return self.inner.eval_metrics(out, self._decode(batch))
 
     @property
     def prediction_keys(self):

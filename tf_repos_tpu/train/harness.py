@@ -97,24 +97,42 @@ class Harness:
         self.cfg = cfg
         self.model = model or create_model(cfg)
         if cfg.slim_transfer:
-            if cfg.static_fields <= 0:
-                raise ValueError(
-                    "--slim_transfer requires --static_fields>0 (it "
-                    "reconstructs the constant-id continuous block from "
-                    "the same Criteo layout contract)"
-                )
-            # composes with --sparse_table_update: the encoder runs
-            # AFTER the dedup mapper (see _dataset ordering), and the
-            # mapper's remap keeps position == id for the static prefix
-            # and vals untouched — both encoder contracts still hold on
-            # the remapped batch (data/slim_wire.py module docstring)
-            if input_format(self.model) != "libsvm":
-                raise ValueError(
-                    "--slim_transfer applies to libsvm-format models only"
-                )
-            from tf_repos_tpu.data.slim_wire import SlimWireModel
+            fmt = input_format(self.model)
+            if fmt == "libsvm":
+                if cfg.static_fields <= 0:
+                    raise ValueError(
+                        "--slim_transfer requires --static_fields>0 (it "
+                        "reconstructs the constant-id continuous block from "
+                        "the same Criteo layout contract)"
+                    )
+                # composes with --sparse_table_update: the encoder runs
+                # AFTER the dedup mapper (see _dataset ordering), and the
+                # mapper's remap keeps position == id for the static prefix
+                # and vals untouched — both encoder contracts still hold on
+                # the remapped batch (data/slim_wire.py module docstring)
+                from tf_repos_tpu.data.slim_wire import SlimWireModel
 
-            self.model = SlimWireModel(self.model)
+                self.model = SlimWireModel(self.model)
+            elif fmt == "aliccp":
+                # Ali-CCP wire: binary multi-hot vals dropped (committed
+                # on the first batch, validated per batch), id fields
+                # narrowed to uint16 under the uids-bucket/vocab bound,
+                # label alias rebuilt on device; composes with
+                # --sparse_table_update and --mh_coo (encoder runs after
+                # the mapper and the COO packer)
+                from tf_repos_tpu.data.slim_wire import (
+                    SlimWireModel,
+                    decode_aliccp_batch,
+                )
+
+                self.model = SlimWireModel(
+                    self.model, decode=decode_aliccp_batch
+                )
+            else:
+                raise ValueError(
+                    "--slim_transfer supports libsvm and aliccp input "
+                    f"formats (model {self.model.name} reads {fmt})"
+                )
         self.tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
         self.model_dir = cfg.resolved_model_dir() or "./model_ckpt"
         self.mesh = self._make_mesh()
@@ -432,9 +450,14 @@ class Harness:
         if cfg.slim_transfer:
             # host-side encode to the slim wire format, on the prefetch
             # thread; the SlimWireModel decodes on-device inside the step
-            from tf_repos_tpu.data.slim_wire import encoding_batches
+            if input_format(self.model) == "aliccp":
+                from tf_repos_tpu.data.slim_wire import aliccp_encoding_batches
 
-            ds = encoding_batches(ds, cfg.static_fields)
+                ds = aliccp_encoding_batches(ds, cfg.feature_size)
+            else:
+                from tf_repos_tpu.data.slim_wire import encoding_batches
+
+                ds = encoding_batches(ds, cfg.static_fields)
         it: Iterable = Prefetcher(ds, size=cfg.prefetch_batches)
         if jax.process_count() > 1:
             # every host must dispatch the same number of collective steps
