@@ -168,6 +168,7 @@ def write_synthetic_aliccp(
     match_prob: float = 0.0,
     match_strength: float = 0.0,
     truth_path: str = "",
+    zipf_a: float = 0.0,
 ) -> None:
     """Ali-CCP joined/remapped sample lines (features/aliccp.py output
     format): ``sample_id,y,z,field:fid:val ...`` consumed by
@@ -187,8 +188,23 @@ def write_synthetic_aliccp(
     (field 206) is copied from the line's behavior history (field
     109_14), and the click logit gains match_strength * 1[matched] —
     the "ad relates to past behavior" signal DIN's attention models
-    (DIN.py:152-173) and plain sum-pooling blurs at long histories."""
+    (DIN.py:152-173) and plain sum-pooling blurs at long histories.
+
+    zipf_a > 0 draws ids as Zipf(zipf_a) popularity ranks (id = rank +
+    cutoff offset) instead of uniform — matching the real pipelines,
+    whose preprocessors emit frequency-sorted dense renumbers
+    (features/aliccp.py remap stage, get_remap_fid.sh cutoff 20). The
+    id distribution is load-bearing for the lazy sparse path: uniform
+    ids at multi-million vocab have near-zero batch duplication, so the
+    uids bucket blows past the Pallas VMEM cap — a worst case the real
+    remapped data never exhibits."""
     rng = np.random.default_rng(seed)
+
+    def draw_ids(size):
+        if zipf_a <= 0.0:
+            return rng.integers(20, hi, size=size)
+        z = rng.zipf(zipf_a, size=size)
+        return 20 + np.minimum(z - 1, hi - 21)
     common_fields = ["101", "121", "122", "124", "125", "126", "127", "128", "129", "205", "301"]
     ad_fields = ("206", "207", "216")
     mh_fields = ("109_14", "110_14", "127_14", "150_14", "210")
@@ -202,9 +218,9 @@ def write_synthetic_aliccp(
             n = min(200_000, num_samples - chunk_lo)
             # batched draws (the per-line rng.integers() calls dominated the
             # old loop); multi-hot slots beyond the per-row count are masked
-            singles = rng.integers(20, hi, size=(n, n_single))
+            singles = draw_ids((n, n_single))
             mh_cnt = rng.integers(1, multi_hot + 1, size=(n, len(mh_fields)))
-            mh_ids = rng.integers(20, hi, size=(n, len(mh_fields), multi_hot))
+            mh_ids = draw_ids((n, len(mh_fields), multi_hot))
             mh_mask = np.arange(multi_hot)[None, None, :] < mh_cnt[:, :, None]
             match = np.zeros(n, np.float64)
             if match_prob > 0.0:
