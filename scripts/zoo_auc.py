@@ -80,23 +80,48 @@ def make_csv_view(raw_train: str, csv_dir: str) -> None:
     """Raw surrogate TSV -> the wide_n_deep CSV contract: label, I1..I13
     floats, C14..C39 identity ids in [1, 10000) (identity buckets,
     default 0 — wide_n_deep.py:96-97). The reference consumed an
-    already-preprocessed CSV (its column defaults are float/int, :60-63),
-    so continuous gets the same clip-then-min-max normalization as the
-    libsvm pipeline (get_criteo_feature.py:64-91). 90/10 tr/va split."""
+    already-PREPROCESSED CSV (its column defaults are float/int, :60-63):
+    categorical columns are per-field frequency-ranked ids, so under the
+    10,000 identity buckets the 10k hottest values of each field keep
+    their identity COLLISION-FREE and only the rare tail shares the
+    default bucket 0. (An earlier version hashed the raw values % 9999 —
+    uniform collisions mix ~12 planted id weights per bucket and
+    attenuate the first-order signal the wide/FTRL leg exists to learn;
+    per-field frequency ranks are the reference's actual input
+    contract.) Continuous gets the same clip-then-min-max normalization
+    as the libsvm pipeline (get_criteo_feature.py:64-91). 90/10 split."""
+    from collections import Counter
+
     from tf_repos_tpu.features.criteo import ContinuousFeatureGenerator
 
     os.makedirs(csv_dir, exist_ok=True)
     cg = ContinuousFeatureGenerator()
+    counts = [Counter() for _ in range(26)]
     with open(raw_train) as f:
         for line in f:
-            cg.accumulate(line.rstrip("\n").split("\t"), 1)
+            toks = line.rstrip("\n").split("\t")
+            cg.accumulate(toks, 1)
+            for j, t in enumerate(toks[14:40]):
+                if t:
+                    counts[j][t] += 1
+    # per-field frequency rank (1-based; ties broken by value for
+    # determinism); rank >= 10000 falls to the default bucket 0
+    ranks = [
+        {v: r + 1 for r, (v, _) in enumerate(
+            sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:9999]
+        )}
+        for c in counts
+    ]
     tr = open(os.path.join(csv_dir, "tr.csv"), "w")
     va = open(os.path.join(csv_dir, "va.csv"), "w")
     with open(raw_train) as f:
         for i, line in enumerate(f):
             toks = line.rstrip("\n").split("\t")
             conts = [f"{cg.gen(j, t):.6f}" for j, t in enumerate(toks[1:14])]
-            cats = [str(int(t, 16) % 9999 + 1) if t else "0" for t in toks[14:40]]
+            cats = [
+                str(ranks[j].get(t, 0)) if t else "0"
+                for j, t in enumerate(toks[14:40])
+            ]
             out = ",".join([toks[0]] + conts + cats)
             (va if i % 10 == 9 else tr).write(out + "\n")
     tr.close()
@@ -212,16 +237,24 @@ def write_report(results: dict, path: str) -> None:
         "",
         "Reading: (1) every model converges under its published command "
         "line through the one shared harness; the deep interaction family "
-        "clusters at 94.8-97.5% of the ceiling — the surrogate analog of "
+        "clusters at 95.9-98.1% of the ceiling — the surrogate analog of "
         "the reference's 'all models land at 0.8±0.003' band "
         "(deep_ctr/README.md:41). (2) AFM sits measurably below the other "
         "deep models here exactly as it does in the published ladder "
-        "(0.731, last place). (3) LR/wide_n_deep rank LOWER than on real "
-        "Criteo: the surrogate plants most of its signal in second-order "
-        "interactions, and the CSV view's 10,000-identity-bucket contract "
-        "collides the 117k-id space, capping what linear-over-buckets can "
-        "see; real Criteo's strong first-order marginals (which made LR "
-        "0.777 there) are not part of the surrogate's calibration target.",
+        "(0.731, last place). (3) The round-3 surrogate recalibration "
+        "plants a first-order-only oracle AUC of ~0.773-0.780 (the "
+        "published band position of LR; data/criteo_surrogate.py "
+        "FIRST_AUC_TARGET), lifting LR from 86.9% (round 2) to 93.0% of "
+        "the ceiling. The residual LR gap is per-id ESTIMATION noise, "
+        "not signal or the CSV contract: rebuilding the CSV view with "
+        "per-field frequency ranks (collision-free identity buckets for "
+        "every hot id) left LR's AUC unchanged (0.7459 -> 0.7460), while "
+        "4 epochs instead of the published 1 lift it to 0.7632 and the "
+        "10M-line surrogate (5x observations per tail id, same published "
+        "1-epoch command) lifts it further — the plant's per-(field,rank) "
+        "effects on sub-20-observation tail ids are unlearnable at 2M "
+        "regardless of model. wide_n_deep (0.7699) sits inside the deep "
+        "band, above AFM.",
         "",
         "NFM/AFM run at embedding_size 64 (published 256) — the pair-term "
         "compute at emb 256 x batch 128 is dispatch-bound through the dev "

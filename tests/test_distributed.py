@@ -522,3 +522,116 @@ def test_two_process_sigterm_one_host_stops_both(tmp_path):
     assert "graceful shutdown" in outs[1]
     done = [l for o in outs for l in o.splitlines() if l.startswith("DONE")]
     assert len(done) == 2 and done[0] == done[1], done
+
+
+MHCOO_WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+
+    import numpy as np
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.sparse_batch import (
+        GlobalUidsUnion, MhCooPacker, SparseBatchMapper)
+    from tf_repos_tpu.data.synthetic import synthetic_aliccp_batch
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.parallel.sparse_step import (
+        ShardedSparseState, build_sharded_sparse_train_step)
+    from tf_repos_tpu.train.optimizers import make_optimizer
+    from tf_repos_tpu.train.sparse import make_sparse_row_optimizer
+
+    cfg = Config(model="ESMM", feature_size=400, field_size=11, embedding_size=4,
+                 deep_layers="8,4", dropout="1.0,1.0", batch_size=32,
+                 optimizer="Adam", learning_rate=0.05, l2_reg=0.001, multi_hot_pad=4)
+    model = create_model(cfg)
+    tx = make_optimizer("Adam", 0.05)
+    mesh = make_mesh(data=2, model=2)
+    sopt = make_sparse_row_optimizer("Adam", 0.05, sorted_indices=False)
+    ss = ShardedSparseState(model, tx, sopt, mesh)
+    state, specs = ss.init(jax.random.PRNGKey(cfg.seed))
+    train = build_sharded_sparse_train_step(model, tx, sopt, mesh, specs)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    # 1 LOCAL data shard per host (data axis 2 split over 2 processes)
+    packer = MhCooPacker(model.mh_coo_groups(), n_data=1, floor=8)
+    union = GlobalUidsUnion(model.sparse_slots())
+    losses = []
+    for i in range(3):
+        full = synthetic_aliccp_batch(np.random.default_rng(i), cfg.batch_size,
+                                      cfg.feature_size, multi_hot_pad=4)
+        lo = pid * 16; hi = lo + 16
+        local = {k: v[lo:hi] for k, v in full.items()}
+        placed = ss.place_batch(union(packer(mapper(local))))
+        state, loss = train(state, placed, jax.random.PRNGKey(100 + i))
+        losses.append(float(loss))
+    print("LOSSES", json.dumps(losses))
+    """
+)
+
+
+def test_two_process_mh_coo_matches_single(tmp_path):
+    """Multi-host --mh_coo: per-host COO pack of the local batch slice +
+    GlobalUidsUnion's cross-host pow2 bucket consensus must reproduce the
+    single-process trajectory (one packer over the global batch with
+    n_data=2) on the same global batches."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "mhcoo_worker.py"
+    script.write_text(MHCOO_WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    losses = []
+    for p in procs:
+        out, err = p.communicate(timeout=500)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("LOSSES")][0]
+        losses.append(json.loads(line[len("LOSSES "):]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+    import jax
+
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.data.sparse_batch import MhCooPacker, SparseBatchMapper
+    from tf_repos_tpu.data.synthetic import synthetic_aliccp_batch
+    from tf_repos_tpu.models import create_model
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.parallel.sparse_step import (
+        ShardedSparseState,
+        build_sharded_sparse_train_step,
+    )
+    from tf_repos_tpu.train.optimizers import make_optimizer
+    from tf_repos_tpu.train.sparse import make_sparse_row_optimizer
+
+    cfg = Config(model="ESMM", feature_size=400, field_size=11, embedding_size=4,
+                 deep_layers="8,4", dropout="1.0,1.0", batch_size=32,
+                 optimizer="Adam", learning_rate=0.05, l2_reg=0.001, multi_hot_pad=4)
+    model = create_model(cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sopt = make_sparse_row_optimizer("Adam", 0.05, sorted_indices=False)
+    ss = ShardedSparseState(model, tx, sopt, mesh)
+    state, specs = ss.init(jax.random.PRNGKey(cfg.seed))
+    train = build_sharded_sparse_train_step(model, tx, sopt, mesh, specs)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    packer = MhCooPacker(model.mh_coo_groups(), n_data=2, floor=8)
+    ref = []
+    for i in range(3):
+        batch = synthetic_aliccp_batch(np.random.default_rng(i), cfg.batch_size,
+                                       cfg.feature_size, multi_hot_pad=4)
+        state, loss = train(state, ss.place_batch(packer(mapper(batch))),
+                            jax.random.PRNGKey(100 + i))
+        ref.append(float(loss))
+    np.testing.assert_allclose(ref, losses[0], rtol=1e-5)

@@ -212,6 +212,7 @@ class GlobalUidsUnion:
         self.slots = slots
         self._bucket: Dict[str, int] = {}
         self._seen: Dict[str, np.ndarray] = {}
+        self._coo_bucket = 0
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         from jax.experimental import multihost_utils
@@ -270,4 +271,20 @@ class GlobalUidsUnion:
             if coo_owned:
                 batch[MHC_IDX] = np.take(lp2gp, batch[MHC_IDX], mode="clip")
             batch[key] = guids
+        if MHC_IDX in batch:
+            # cross-host COO bucket consensus: every host must compile and
+            # dispatch IDENTICAL shapes, but each host's MhCooPacker sized
+            # its pow2 bucket from its own local live count — allgather the
+            # sizes and re-pad to the (monotonically grown) max. Zero
+            # padding (idx=dest=0, w=0) adds exactly zero into pooled row 0.
+            local_m = np.int32(batch[MHC_IDX].shape[-1])
+            sizes = np.asarray(multihost_utils.process_allgather(local_m))
+            self._coo_bucket = max(self._coo_bucket, int(sizes.max()))
+            target = self._coo_bucket
+            for k in (MHC_IDX, MHC_DEST, MHC_W):
+                if k in batch and batch[k].shape[-1] < target:
+                    a = np.asarray(batch[k])
+                    batch[k] = np.pad(
+                        a, [(0, 0)] * (a.ndim - 1) + [(0, target - a.shape[-1])]
+                    )
         return batch

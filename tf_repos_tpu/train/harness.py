@@ -171,13 +171,10 @@ class Harness:
                     "multi-hot groups (DIN's attention needs the padded "
                     "sequence; libsvm/csv models have no ragged fields)"
                 )
-            if jax.process_count() > 1:
-                raise ValueError(
-                    "--mh_coo is single-process (multi-chip OK): the COO "
-                    "pow2 buckets would need a cross-host size consensus "
-                    "like GlobalUidsUnion; drop the flag for multi-host "
-                    "runs (the padded multi-hot path is multi-host-safe)"
-                )
+            # multi-host is handled: each host packs its LOCAL batch over
+            # its local data shards, and GlobalUidsUnion re-pads every
+            # host's COO arrays to a cross-host pow2 bucket consensus (the
+            # same main-thread collective that unions the uid sets)
             self._mh_coo_groups = groups
         # multi-host sparse: the sharded sparse step replicates the GLOBAL
         # unique-id set, but each host's loader dedups only its local batch
@@ -437,15 +434,19 @@ class Harness:
             )
             if self._mh_coo_groups is not None:
                 # after the mapper: the COO idx are remapped positions;
-                # one COO slice per data shard (dest local to the shard)
+                # one COO slice per LOCAL data shard (dest local to the
+                # shard; this host's loader batch covers only its own
+                # slice of the data axis)
                 from tf_repos_tpu.data.sparse_batch import MhCooPacker
                 from tf_repos_tpu.parallel.step import DATA_AXIS
 
                 n_data = (
-                    self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+                    self.mesh.shape[DATA_AXIS] // jax.process_count()
+                    if self.mesh is not None
+                    else 1
                 )
                 ds = mapped_batches(
-                    ds, MhCooPacker(self._mh_coo_groups, n_data=n_data)
+                    ds, MhCooPacker(self._mh_coo_groups, n_data=max(n_data, 1))
                 )
         if cfg.slim_transfer:
             # host-side encode to the slim wire format, on the prefetch
