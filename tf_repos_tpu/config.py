@@ -167,6 +167,19 @@ class Config:
     # the host->device wire (~12 B per live slot vs 4-8 B per padded
     # slot: 9.4 MB -> ~1.6 MB per pad-64 B=4096 batch).
     mh_coo: bool = False
+    # slice the padded multi-hot fields to the BATCH's live width on the
+    # host (data/sparse_batch.MhPadBucketer): per-field pow2 buckets of
+    # the max live column, monotonic growth (same recompile-bounding
+    # rule as the uids buckets), "pow2:<floor>" to skip the growth
+    # ladder. The device-side multi-hot cost (embedding expand, DIN's
+    # attention MLP over [B, pad, ·]) scales with the PADDED width while
+    # true Ali-CCP lengths are ~4-8 of pad 64 — this recovers the dead
+    # ~87% without the COO rewrite, so it also covers DIN, whose
+    # per-slot attention cannot ride the sum-pool COO form (--mh_coo).
+    # Ali-CCP models; exact under the id==0 mask convention. Multi-host:
+    # train-split only, requires --sparse_table_update (the cross-host
+    # width consensus rides GlobalUidsUnion's main-thread collectives).
+    mh_bucket: str = "off"
     # parse libsvm text once and memmap a packed binary sidecar
     # (<data_dir>/.packed_cache/, data/cache.py) on every later epoch and
     # run — the TFRecord-materialization role in the reference's pipeline.

@@ -36,6 +36,17 @@ AD_MH_FIELD = ("210", "a_int", 18)
 
 NUM_COMMON = len(COMMON_FIELDS)
 
+# padded multi-hot (ids, vals) field pairs of this layout — the
+# --mh_bucket slicer's contract (data/sparse_batch.MhPadBucketer);
+# a_int carries no vals array (binary membership, AD_MH_FIELD)
+MH_PAIRS = (
+    ("u_catids", "u_catvals"),
+    ("u_shopids", "u_shopvals"),
+    ("u_brandids", "u_brandvals"),
+    ("u_intids", "u_intvals"),
+    ("a_intids", None),
+)
+
 
 def parse_aliccp_lines(lines: Sequence[bytes], multi_hot_pad: int = 64) -> Batch:
     n = len(lines)

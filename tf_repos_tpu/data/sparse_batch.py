@@ -115,6 +115,59 @@ MHC_DEST = "__mhc_dest"
 MHC_W = "__mhc_w"
 
 
+class MhPadBucketer:
+    """Slice padded multi-hot fields to the batch's live width (--mh_bucket).
+
+    The reader pads every multi-hot field to the static --multi_hot_pad
+    (the VarLen -> fixed-shape TPU contract, data/ragged.py), but the
+    device cost of everything downstream — the [B, pad, K] embedding
+    expand, DIN's attention MLP over [B, pad, 3K] (DIN.py:152-173) — is
+    proportional to the PADDED width while true Ali-CCP lengths are ~4-8.
+    --mh_coo removes the waste for SUM-POOLED groups by re-packing live
+    slots as COO; DIN's attention is per-slot and cannot sum-pool, so
+    this bucketer attacks the same waste one level earlier: slice each
+    field to a per-field pow2 bucket of the batch's last live column
+    (monotonic growth, the uids-bucket recompile rule; "pow2:<floor>"
+    starts every bucket at <floor>).
+
+    Exactness: a column is dropped only if EVERY row has id == 0 there,
+    and id==0 slots are dead by the models' mask convention (DIN masks
+    ids > 0, the packers/pools zero vals at ids <= 0) — the sliced batch
+    computes the identical function. The live width is taken from id
+    POSITIONS (last nonzero column), so right-padded and interleaved
+    layouts are both safe.
+
+    pairs: ((ids_field, vals_field | None), ...) — vals slice with their
+    ids so elementwise id/val consumers keep aligned shapes."""
+
+    def __init__(self, pairs, mode: str = "pow2"):
+        floor = 0
+        if mode.startswith("pow2:"):
+            mode, floor = "pow2", int(mode.split(":", 1)[1])
+        if mode != "pow2":
+            raise ValueError(f"--mh_bucket {mode!r} not in ('off', 'pow2', 'pow2:<floor>')")
+        self.pairs = tuple(pairs)
+        self._bucket: Dict[str, int] = {ids: max(floor, 1) for ids, _ in self.pairs}
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        batch = dict(batch)
+        for ids_f, vals_f in self.pairs:
+            if ids_f not in batch:
+                continue
+            a = np.asarray(batch[ids_f])
+            p = a.shape[-1]
+            live_cols = (a != 0).any(axis=tuple(range(a.ndim - 1)))
+            width = int(p - np.argmax(live_cols[::-1])) if live_cols.any() else 0
+            bucket = max(self._bucket[ids_f], 1 << max(width - 1, 0).bit_length())
+            bucket = min(bucket, p)
+            self._bucket[ids_f] = bucket
+            if bucket < p:
+                batch[ids_f] = a[..., :bucket]
+                if vals_f and vals_f in batch:
+                    batch[vals_f] = np.asarray(batch[vals_f])[..., :bucket]
+        return batch
+
+
 class MhCooPacker:
     """Padded multi-hot groups -> COO triplet of LIVE slots (--mh_coo).
 
@@ -208,11 +261,17 @@ class GlobalUidsUnion:
     unique count plus monotonic growth from identical history, so every
     host compiles identical shapes."""
 
-    def __init__(self, slots: Dict[str, "SparseSlot"]):
+    def __init__(self, slots: Dict[str, "SparseSlot"], bucketed_pairs=()):
         self.slots = slots
         self._bucket: Dict[str, int] = {}
         self._seen: Dict[str, np.ndarray] = {}
         self._coo_bucket = 0
+        # --mh_bucket pairs ((ids, vals|None), ...): per-host live-width
+        # slicing needs the same cross-host shape consensus as the COO
+        # bucket — allgather the widths, re-pad to the monotonic max
+        # (zeros: the dead-slot convention the slicing removed)
+        self.bucketed_pairs = tuple(bucketed_pairs)
+        self._mh_width: Dict[str, int] = {ids: 0 for ids, _ in self.bucketed_pairs}
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         from jax.experimental import multihost_utils
@@ -283,6 +342,21 @@ class GlobalUidsUnion:
             target = self._coo_bucket
             for k in (MHC_IDX, MHC_DEST, MHC_W):
                 if k in batch and batch[k].shape[-1] < target:
+                    a = np.asarray(batch[k])
+                    batch[k] = np.pad(
+                        a, [(0, 0)] * (a.ndim - 1) + [(0, target - a.shape[-1])]
+                    )
+        for ids_f, vals_f in self.bucketed_pairs:
+            # --mh_bucket width consensus (absent under --mh_coo, which
+            # popped the padded fields before this runs)
+            if ids_f not in batch:
+                continue
+            local_w = np.int32(batch[ids_f].shape[-1])
+            widths = np.asarray(multihost_utils.process_allgather(local_w))
+            self._mh_width[ids_f] = max(self._mh_width[ids_f], int(widths.max()))
+            target = self._mh_width[ids_f]
+            for k in (ids_f, vals_f):
+                if k and k in batch and batch[k].shape[-1] < target:
                     a = np.asarray(batch[k])
                     batch[k] = np.pad(
                         a, [(0, 0)] * (a.ndim - 1) + [(0, target - a.shape[-1])]

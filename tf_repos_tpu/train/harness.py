@@ -176,6 +176,28 @@ class Harness:
             # host's COO arrays to a cross-host pow2 bucket consensus (the
             # same main-thread collective that unions the uid sets)
             self._mh_coo_groups = groups
+        # --mh_bucket: host-side pow2 slicing of the padded multi-hot
+        # fields to the batch's live width (data/sparse_batch.
+        # MhPadBucketer) — the pad-waste lever for the paths --mh_coo
+        # cannot cover (DIN's per-slot attention, the dense Ali-CCP path)
+        self._mh_bucket_pairs = None
+        if cfg.mh_bucket and cfg.mh_bucket != "off":
+            if input_format(self.model) != "aliccp":
+                raise ValueError(
+                    "--mh_bucket applies to the Ali-CCP padded multi-hot "
+                    f"layout (model {self.model.name} reads "
+                    f"{input_format(self.model)})"
+                )
+            if jax.process_count() > 1 and not cfg.sparse_table_update:
+                raise ValueError(
+                    "--mh_bucket under multi-host requires "
+                    "--sparse_table_update: every host must dispatch "
+                    "identical shapes, and the cross-host width consensus "
+                    "rides GlobalUidsUnion's main-thread collectives"
+                )
+            from tf_repos_tpu.data.ragged import MH_PAIRS
+
+            self._mh_bucket_pairs = MH_PAIRS
         # multi-host sparse: the sharded sparse step replicates the GLOBAL
         # unique-id set, but each host's loader dedups only its local batch
         # slice -> union the sets across hosts (collectives, so it must run
@@ -184,7 +206,9 @@ class Harness:
         if self._sparse_slots is not None and jax.process_count() > 1:
             from tf_repos_tpu.data.sparse_batch import GlobalUidsUnion
 
-            self._uids_union = GlobalUidsUnion(self._sparse_slots)
+            self._uids_union = GlobalUidsUnion(
+                self._sparse_slots, bucketed_pairs=self._mh_bucket_pairs or ()
+            )
         # --static_fields composes with --sparse_table_update on one chip
         # AND under a mesh: the sharded sparse step applies the model to
         # the REPLICATED compact rows with a plain dense lookup
@@ -424,6 +448,16 @@ class Harness:
                 files, field_size=cfg.field_size, parse_workers=workers,
                 packed_cache=cfg.packed_cache, **common
             )
+        if self._mh_bucket_pairs is not None and (
+            split == "tr" or jax.process_count() == 1
+        ):
+            # live-width slicing BEFORE the dedup mapper (smaller id
+            # arrays for everything downstream). Multi-host: train split
+            # only — the eval iterators have no cross-host width
+            # consensus channel (GlobalUidsUnion runs on train batches)
+            from tf_repos_tpu.data.sparse_batch import MhPadBucketer, mapped_batches
+
+            ds = mapped_batches(ds, MhPadBucketer(self._mh_bucket_pairs, cfg.mh_bucket))
         if split == "tr" and self._sparse_slots is not None:
             # dedup + remap on the host, pipelined with TPU compute by the
             # prefetch thread (train/sparse.py step consumes __uids_*)
@@ -543,13 +577,23 @@ class Harness:
             if multi_step is not None and len(batches) == K:
                 rng, sub = jax.random.split(rng)
                 sentinels = None
+                if self._mh_bucket_pairs is not None:
+                    # mh pow2 buckets may grow mid-group; id/val padding
+                    # with 0 is the dead-slot convention, exactly what
+                    # the slicing removed
+                    sentinels = {}
+                    for ids_f, vals_f in self._mh_bucket_pairs:
+                        sentinels[ids_f] = 0
+                        if vals_f:
+                            sentinels[vals_f] = 0.0
                 if self._sparse_slots is not None:
                     from tf_repos_tpu.train.sparse import UIDS_PREFIX
 
-                    sentinels = {
+                    sentinels = sentinels or {}
+                    sentinels.update({
                         UIDS_PREFIX + t: s.vocab
                         for t, s in self._sparse_slots.items()
-                    }
+                    })
                     if self._mh_coo_groups is not None:
                         # COO buckets may also grow mid-group; zero
                         # padding (idx=dest=0, w=0) adds exactly zero
