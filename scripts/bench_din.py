@@ -105,12 +105,14 @@ def bench(vocab: int, batch_size: int, pad: int, bucket: bool, n_steps: int = 30
 
 def main():
     small = "--small" in sys.argv
+    memo_path = "/tmp/bench_din_memo.json"
     if small:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         cells = [(50_000, 256, 8, False), (50_000, 256, 8, True)]
         n = 5
+        memo_path = None
     else:
         cells = [
             (4_500_000, 4096, 64, False),
@@ -119,10 +121,18 @@ def main():
             (4_500_000, 4096, 16, True),
         ]
         n = 30
+    # per-cell memo: a tunnel stall loses at most one cell per retry
     out = {}
+    if memo_path and os.path.exists(memo_path):
+        out = json.load(open(memo_path))
     for vocab, b, pad, bucket in cells:
         tag = f"pad{pad}{'_bucket' if bucket else ''}"
+        if tag in out:
+            print(f"[skip] {tag}", flush=True)
+            continue
         out[tag] = bench(vocab, b, pad, bucket, n_steps=n)
+        if memo_path:
+            json.dump(out, open(memo_path, "w"))
         print(json.dumps({tag: out[tag]}), flush=True)
     print("RESULT " + json.dumps(out), flush=True)
 

@@ -180,6 +180,14 @@ class Config:
     # train-split only, requires --sparse_table_update (the cross-host
     # width consensus rides GlobalUidsUnion's main-thread collectives).
     mh_bucket: str = "off"
+    # size of the host map-chain thread pool (data/pipeline.
+    # parallel_mapped_batches) applying bucketer→dedup-mapper→COO-packer
+    # to train batches — the tf.data map(num_parallel_calls=N) role
+    # (reference DeepFM.py:84). The chain is numpy-heavy (releases the
+    # GIL); 1 = current single-prefetch-thread behavior. Content is
+    # per-batch pure, so order and math are unchanged; only the pow2
+    # pad-bucket growth schedule can differ (re-monotonized at output).
+    map_workers: int = 1
     # parse libsvm text once and memmap a packed binary sidecar
     # (<data_dir>/.packed_cache/, data/cache.py) on every later epoch and
     # run — the TFRecord-materialization role in the reference's pipeline.

@@ -71,6 +71,95 @@ class Prefetcher(Iterable[T]):
             stop.set()
 
 
+def parallel_mapped_batches(
+    it: Iterable[T],
+    make_chain,
+    workers: int = 2,
+    pad_rules=None,
+    ahead: int = 2,
+) -> Iterator[T]:
+    """Ordered thread-pool map over a batch iterator (--map_workers).
+
+    The host map chain (MhPadBucketer → SparseBatchMapper → MhCooPacker,
+    train/harness._dataset) is numpy-heavy and releases the GIL, but it
+    runs on ONE prefetch thread — measured ~0.5-0.7M examples/s idle and
+    ~100-240k on a contended 4-core box (scripts/bench_host_chain.py),
+    under the large-vocab device step's 314k ex/s. This is the
+    tf.data ``map(num_parallel_calls=N)`` role (reference DeepFM.py:84):
+    N workers apply the chain concurrently, results yield in stream
+    order.
+
+    State discipline — why this is exact:
+      * chain CONTENT is per-batch pure (the mapper's remapped positions
+        depend only on that batch's ids); only the pow2 pad WIDTHS are
+        stateful (monotonic-growth recompile bounding). Each worker slot
+        owns a chain instance (scratch arrays + its own bucket ladder),
+        and widths are re-monotonized at the ordered OUTPUT: every
+        `pad_rules` key is padded to the running max width with its
+        sentinel (vocab for uids — dropped by the device scatter; 0 for
+        COO/multi-hot — the dead-slot convention). Run-to-run the bucket
+        SIZES may differ from the sequential schedule (a different
+        worker saw the widest batch first) but every emitted batch
+        computes the identical function.
+      * the slim encoder does NOT belong in the chain: its
+        droppable-vals contract commits on the FIRST batch and its
+        uint16 narrowing keys off the final width — the harness runs it
+        sequentially after this (it measures ~10M ex/s, never the
+        bound).
+
+    pad_rules: {key: sentinel_value} for last-axis re-pad; keys absent
+    from a batch are skipped. Consumer abandonment (graceful shutdown)
+    cancels queued work and joins the pool.
+    """
+    import numpy as np
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    chains: "queue.SimpleQueue" = queue.SimpleQueue()
+    for _ in range(workers):
+        chains.put(make_chain())
+
+    def apply(b):
+        c = chains.get()
+        try:
+            return c(b)
+        finally:
+            chains.put(c)
+
+    maxes: dict = {}
+
+    def repad(b):
+        if not pad_rules:
+            return b
+        out = None
+        for k, sent in pad_rules.items():
+            if k not in b:
+                continue
+            a = np.asarray(b[k])
+            w = a.shape[-1]
+            m = maxes[k] = max(maxes.get(k, 0), w)
+            if w < m:
+                if out is None:
+                    out = dict(b)
+                out[k] = np.pad(
+                    a, [(0, 0)] * (a.ndim - 1) + [(0, m - w)],
+                    constant_values=sent,
+                )
+        return out if out is not None else b
+
+    ex = ThreadPoolExecutor(max_workers=workers)
+    try:
+        pending: deque = deque()
+        for batch in it:
+            pending.append(ex.submit(apply, batch))
+            if len(pending) > workers + ahead:
+                yield repad(pending.popleft().result())
+        while pending:
+            yield repad(pending.popleft().result())
+    finally:
+        ex.shutdown(wait=True, cancel_futures=True)
+
+
 def synchronized_iterator(
     it: Iterable[T], sync_every: int = 16, agree_min=None
 ) -> Iterator[T]:

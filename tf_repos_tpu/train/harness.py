@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Iterable, List, Optional
+from typing import Any, Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -448,6 +448,7 @@ class Harness:
                 files, field_size=cfg.field_size, parse_workers=workers,
                 packed_cache=cfg.packed_cache, **common
             )
+        chain_factories = []
         if self._mh_bucket_pairs is not None and (
             split == "tr" or jax.process_count() == 1
         ):
@@ -455,16 +456,18 @@ class Harness:
             # arrays for everything downstream). Multi-host: train split
             # only — the eval iterators have no cross-host width
             # consensus channel (GlobalUidsUnion runs on train batches)
-            from tf_repos_tpu.data.sparse_batch import MhPadBucketer, mapped_batches
+            from tf_repos_tpu.data.sparse_batch import MhPadBucketer
 
-            ds = mapped_batches(ds, MhPadBucketer(self._mh_bucket_pairs, cfg.mh_bucket))
+            pairs, mode = self._mh_bucket_pairs, cfg.mh_bucket
+            chain_factories.append(lambda: MhPadBucketer(pairs, mode))
         if split == "tr" and self._sparse_slots is not None:
             # dedup + remap on the host, pipelined with TPU compute by the
             # prefetch thread (train/sparse.py step consumes __uids_*)
-            from tf_repos_tpu.data.sparse_batch import SparseBatchMapper, mapped_batches
+            from tf_repos_tpu.data.sparse_batch import SparseBatchMapper
 
-            ds = mapped_batches(
-                ds, SparseBatchMapper(self._sparse_slots, pad_mode=cfg.sparse_pad_mode)
+            slots, pad_mode = self._sparse_slots, cfg.sparse_pad_mode
+            chain_factories.append(
+                lambda: SparseBatchMapper(slots, pad_mode=pad_mode)
             )
             if self._mh_coo_groups is not None:
                 # after the mapper: the COO idx are remapped positions;
@@ -474,14 +477,44 @@ class Harness:
                 from tf_repos_tpu.data.sparse_batch import MhCooPacker
                 from tf_repos_tpu.parallel.step import DATA_AXIS
 
-                n_data = (
+                n_data = max(
                     self.mesh.shape[DATA_AXIS] // jax.process_count()
                     if self.mesh is not None
-                    else 1
+                    else 1,
+                    1,
                 )
-                ds = mapped_batches(
-                    ds, MhCooPacker(self._mh_coo_groups, n_data=max(n_data, 1))
+                groups = self._mh_coo_groups
+                chain_factories.append(
+                    lambda: MhCooPacker(groups, n_data=n_data)
                 )
+        if chain_factories:
+            from tf_repos_tpu.data.sparse_batch import mapped_batches
+
+            if cfg.map_workers > 1 and split == "tr":
+                # --map_workers: the chain on a thread pool, stream
+                # order preserved, pad widths re-monotonized at output
+                # (data/pipeline.parallel_mapped_batches docstring has
+                # the exactness argument)
+                from tf_repos_tpu.data.pipeline import parallel_mapped_batches
+
+                factories = list(chain_factories)
+
+                def make_chain(fs=factories):
+                    stages = [f() for f in fs]
+
+                    def chain(b):
+                        for s in stages:
+                            b = s(b)
+                        return b
+
+                    return chain
+
+                ds = parallel_mapped_batches(
+                    ds, make_chain, cfg.map_workers, self._map_pad_rules()
+                )
+            else:
+                for f in chain_factories:
+                    ds = mapped_batches(ds, f())
         if cfg.slim_transfer:
             # host-side encode to the slim wire format, on the prefetch
             # thread; the SlimWireModel decodes on-device inside the step
@@ -500,6 +533,28 @@ class Harness:
 
             it = synchronized_iterator(it)
         return it
+
+    def _map_pad_rules(self) -> Dict[str, Any]:
+        """Last-axis re-pad sentinels for the bucketed keys the parallel
+        map chain emits (--map_workers): vocab for uids (strictly out of
+        range, dropped by the device scatter), 0 for COO triplets and
+        padded multi-hot ids/vals (the dead-slot convention)."""
+        rules: Dict[str, Any] = {}
+        if self._sparse_slots is not None:
+            from tf_repos_tpu.train.sparse import UIDS_PREFIX
+
+            for t, s in self._sparse_slots.items():
+                rules[UIDS_PREFIX + t] = s.vocab
+        if self._mh_coo_groups is not None:
+            from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_IDX, MHC_W
+
+            rules.update({MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0})
+        if self._mh_bucket_pairs is not None:
+            for ids_f, vals_f in self._mh_bucket_pairs:
+                rules[ids_f] = 0
+                if vals_f:
+                    rules[vals_f] = 0.0
+        return rules
 
     # ----------------------------------------------------------------- train
     def train(self) -> Dict[str, float]:
