@@ -60,6 +60,16 @@ def main(argv=None):
         "proportional to live ids, not multi_hot_pad",
     )
     ap.add_argument(
+        "--mh_bucket", default="off",
+        help="host pow2 live-width slicing of the padded multi-hot "
+        "fields (--mh_bucket): pad-independent step for the padded "
+        "paths; composes with --mh_coo (smaller host pack input)",
+    )
+    ap.add_argument(
+        "--map_workers", type=int, default=1,
+        help="host map-chain thread pool size (--map_workers)",
+    )
+    ap.add_argument(
         "--slim", action="store_true",
         help="--slim_transfer wire format (data/slim_wire.py): halves "
         "host->device input bytes; the lever when the input link (PCIe "
@@ -83,6 +93,7 @@ def main(argv=None):
             sparse_table_update=a.sparse,
             pallas_expand=a.sparse and not a.no_pallas,
             fused_moments=a.sparse, mh_coo=a.mh_coo, slim_transfer=a.slim,
+            mh_bucket=a.mh_bucket, map_workers=a.map_workers,
             param_dtype="bfloat16" if a.sparse else "float32",
         )
     else:
@@ -129,7 +140,8 @@ def main(argv=None):
         "batch": cfg.batch_size,
         "epochs": a.epochs,
         "flags": {k: getattr(a, k) for k in
-                  ("sparse", "no_pallas", "mh_coo", "slim", "multi_hot_pad")},
+                  ("sparse", "no_pallas", "mh_coo", "slim", "multi_hot_pad",
+                   "mh_bucket", "map_workers")},
     }
     print(json.dumps(out))
 
