@@ -172,6 +172,52 @@ def test_din_harness_with_bucketing(tmp_path):
     assert np.isfinite(m["loss"])
 
 
+def test_sharded_step_accepts_bucketed_widths():
+    """Mesh coverage: bucketed (and mid-run GROWING) multi-hot widths
+    through the sharded dense train step — the [B, w] fields ride the
+    leading-batch-axis data sharding at any w, and the loss matches the
+    unsharded step on the same sliced batch."""
+    import jax
+
+    from tf_repos_tpu.parallel import step as S
+    from tf_repos_tpu.parallel.mesh import make_mesh
+    from tf_repos_tpu.train import loop as L
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    cfg = Config(
+        model="ESMM", feature_size=800, field_size=11, embedding_size=4,
+        deep_layers="8,4", dropout="1.0,1.0", batch_size=16,
+        learning_rate=0.1, l2_reg=0.0, optimizer="GD", multi_hot_pad=32,
+        seed=0,
+    )
+    model = create_model(cfg)
+    bk = MhPadBucketer(MH_PAIRS)
+    batches = [bk(_batch(pad=32, avg_hot=2 + 4 * i, b=16, fs=800, seed=i))
+               for i in range(2)]  # widths grow between the two batches
+    assert batches[0]["u_catids"].shape != batches[1]["u_catids"].shape
+
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    sstep = L.build_train_step(model, tx)
+    rng = jax.random.PRNGKey(123)
+    ref = []
+    p, o, m = params, opt_state, mstate
+    for b in batches:
+        p, o, m, loss = sstep(p, o, m, b, rng)
+        ref.append(float(loss))
+
+    mesh = make_mesh(data=4, model=2)
+    ss = S.ShardedState(model, tx, mesh)
+    state, specs = ss.init(jax.random.PRNGKey(0))
+    mstep = S.build_sharded_train_step(model, tx, mesh, specs)
+    got = []
+    for b in batches:
+        state, loss = mstep(state, ss.place_batch(b), rng)
+        got.append(float(loss))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
 def test_libsvm_model_rejected():
     cfg = Config(model="DeepFM", feature_size=100, field_size=39, mh_bucket="pow2")
     with pytest.raises(ValueError, match="mh_bucket"):
