@@ -118,8 +118,12 @@ def test_harness_map_workers_matches_single(tmp_path):
             deep_layers="8,4", dropout="1.0,1.0", batch_size=16, num_epochs=1,
             log_steps=5, learning_rate=0.01, data_dir=str(d),
             model_dir=str(tmp_path / mdir), dt_dir="x", eval_throttle_secs=0,
-            seed=7, multi_hot_pad=8, sparse_table_update=True, mh_coo=True,
-            mh_bucket="pow2:8", steps_per_dispatch=2, map_workers=workers,
+            # pad 16 with no bucket floor: the bucketer REALLY slices
+            # (synthetic lengths 1..4 -> width 4 < pad 16) before the COO
+            # packer — the round-3 advisor found the old pow2:8==pad
+            # setting masked the mh_bucket x mh_coo composition entirely
+            seed=7, multi_hot_pad=16, sparse_table_update=True, mh_coo=True,
+            mh_bucket="pow2", steps_per_dispatch=2, map_workers=workers,
         )
         return run_task(cfg)
 

@@ -175,6 +175,51 @@ def test_packer_bucket_grows_monotonically_pow2():
     assert sizes == sorted(sizes)  # monotonic
 
 
+def test_packer_handles_per_field_widths_from_mh_bucket():
+    """--mh_bucket slices each multi-hot field to its OWN pow2 live width
+    before the packer runs (harness chain bucketer -> mapper -> packer);
+    the packer must accept per-field widths and pool identically to the
+    unsliced path (round-3 advisor finding: np.stack over unequal widths
+    raised ValueError on the first batch)."""
+    from tf_repos_tpu.data.ragged import MH_PAIRS
+    from tf_repos_tpu.data.sparse_batch import MhPadBucketer
+
+    cfg = _esmm_cfg(batch_size=8, multi_hot_pad=16)
+    model = create_model(cfg)
+    groups = model.mh_coo_groups()
+    bucketer = MhPadBucketer(MH_PAIRS, "pow2")
+    mapper = SparseBatchMapper(model.sparse_slots())
+    ref_mapper = SparseBatchMapper(model.sparse_slots())
+    packer = MhCooPacker(groups)
+    rng = np.random.default_rng(6)
+    saw_unequal = False
+    for b in _aliccp_batches(cfg, 3, pad=16, seed0=40):
+        sliced = bucketer(dict(b))
+        widths = {f + "ids": sliced[f + "ids"].shape[-1] for f, _ in groups}
+        saw_unequal |= len(set(widths.values())) > 1
+        # slicing drops only all-zero columns, so the unique-id sets (and
+        # the remap) are identical to the unsliced path
+        mapped = mapper(sliced)
+        ref_mapped = ref_mapper(dict(b))
+        assert mapped["__uids_emb"].shape == ref_mapped["__uids_emb"].shape
+        table = rng.standard_normal(
+            (mapped["__uids_emb"].shape[0], 4)
+        ).astype(np.float32)
+        want = _padded_pooling(ref_mapped, table, groups)
+        packed = packer(dict(mapped))
+        got = np.asarray(
+            xla_coo_pool(
+                jnp.asarray(table),
+                jnp.asarray(packed[MHC_IDX].reshape(-1)),
+                jnp.asarray(packed[MHC_DEST].reshape(-1)),
+                jnp.asarray(packed[MHC_W].reshape(-1)),
+                cfg.batch_size * len(groups),
+            )
+        ).reshape(cfg.batch_size, len(groups), -1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert saw_unequal  # the crash regime was actually exercised
+
+
 def test_packer_n_data_shards_local_dest():
     """n_data=2: each shard's COO slice pools exactly its half of the
     batch with shard-local dest indices."""
