@@ -385,6 +385,74 @@ def test_harness_mh_coo_trajectory_matches_padded(tmp_path, spd):
         assert abs(m_coo[k] - m_pad[k]) < 1e-4
 
 
+def _din_cfg(**kw):
+    base = dict(
+        model="DIN", feature_size=400, field_size=11, embedding_size=4,
+        deep_layers="8,4", attention_layers="8", dropout="1.0,1.0",
+        batch_size=8, learning_rate=0.05, l2_reg=0.0, optimizer="GD",
+        multi_hot_pad=8, sparse_table_update=True,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.mark.parametrize("attention", [True, False])
+def test_din_coo_apply_matches_padded(attention):
+    """DIN --mh_coo: with attention only the sum-combined a_int group
+    packs (the 4 user fields keep their padded per-slot sequences);
+    without attention all 5 groups pack like ESMM. Same outputs either
+    way."""
+    cfg = _din_cfg(attention_pooling=attention)
+    model = create_model(cfg)
+    groups = model.mh_coo_groups()
+    assert len(groups) == (1 if attention else 5)
+    params, state = model.init(jax.random.PRNGKey(0))
+    packer = MhCooPacker(groups)
+    for b in _aliccp_batches(cfg, 2, pad=8, seed0=50):
+        # model-level check against the FULL table: the packer is
+        # remap-agnostic (idx values index whatever table apply() gets)
+        full = dict(b)
+        packed = packer(dict(full))
+        if attention:
+            for f in ("u_cat", "u_shop", "u_brand", "u_int"):
+                assert f + "ids" in packed  # attention fields stay padded
+        out_pad, _ = model.apply(params, state, full, train=False)
+        out_coo, _ = model.apply(params, state, packed, train=False)
+        for k in out_pad:
+            np.testing.assert_allclose(
+                np.asarray(out_pad[k]), np.asarray(out_coo[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+
+
+@pytest.mark.parametrize("attention", [True, False])
+def test_din_harness_mh_coo_trajectory_matches_padded(tmp_path, attention):
+    from tf_repos_tpu.data.synthetic import write_synthetic_aliccp
+    from tf_repos_tpu.train.harness import run_task
+
+    d = tmp_path / "data"
+    d.mkdir()
+    write_synthetic_aliccp(str(d / "tr.samples.txt"), 192, feature_size=400, seed=0)
+    write_synthetic_aliccp(str(d / "va.samples.txt"), 64, feature_size=400, seed=1)
+
+    def run(mh_coo: bool, tag: str):
+        return run_task(Config(
+            model="DIN", feature_size=400, field_size=11, embedding_size=4,
+            deep_layers="8,4", attention_layers="8", dropout="1.0,1.0",
+            batch_size=32, learning_rate=0.01, l2_reg=1e-4, optimizer="Adam",
+            num_epochs=1, multi_hot_pad=8, sparse_table_update=True,
+            attention_pooling=attention, mh_coo=mh_coo, mh_bucket="pow2",
+            data_dir=str(d), model_dir=str(tmp_path / tag), dt_dir="x",
+            log_steps=4, eval_throttle_secs=0, seed=7,
+        ))
+
+    m_coo = run(True, f"coo{attention}")
+    m_pad = run(False, f"pad{attention}")
+    assert m_coo["step"] == m_pad["step"]
+    assert abs(m_coo["loss"] - m_pad["loss"]) < 1e-4
+    assert abs(m_coo["auc"] - m_pad["auc"]) < 1e-4
+
+
 def test_mh_coo_flag_validations(tmp_path):
     from tf_repos_tpu.train.harness import Harness
 

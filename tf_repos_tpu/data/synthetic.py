@@ -11,7 +11,7 @@ loss / lifts AUC).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -56,6 +56,42 @@ def synthetic_criteo_batch(
     }
 
 
+# The PUBLISHED Ali-CCP multi-hot length operating point. The reference
+# publishes exactly one number: the LARGEST user-behavior field (the
+# shop/item cumulative-history field, 110_14) averages 250 values per
+# sample (/root/reference/DeepMTL/README.md:21 "最多的一个是用户商品店铺
+# 历史累积行为，平均每条样本250个值"). The other fields' means are NOT
+# published — the values below are assumptions chosen to keep 110_14
+# dominant (the published fact) with plausible per-field skew; lengths
+# are drawn lognormal (long tail) around these means.
+PUBLISHED_MH_AVG_LENS: Dict[str, float] = {
+    "u_cat": 30.0,   # 109_14 user category history (assumed)
+    # 110_14 user shop/item history — PUBLISHED avg 250. The draw mean is
+    # 254 so the ACHIEVED mean after the mh_max_len=2048 tail clip is
+    # ~250 (measured 249.9 at 1M draws, sigma 1.0).
+    "u_shop": 254.0,
+    "u_brand": 40.0,  # 127_14 user brand history (assumed)
+    "u_int": 10.0,   # 150_14 user intention (assumed)
+    "a_int": 5.0,    # 210 ad intention multi-hot (assumed)
+}
+
+# file-format field tag -> batch field prefix (data/ragged.py schema)
+_MH_TAG_TO_PREFIX = {
+    "109_14": "u_cat", "110_14": "u_shop", "127_14": "u_brand",
+    "150_14": "u_int", "210": "a_int",
+}
+
+
+def _lognormal_lengths(
+    rng: np.random.Generator, mean: float, sigma: float, size, cap: int
+) -> np.ndarray:
+    """Long-tailed per-row multi-hot lengths with the requested mean
+    (before clipping): lognormal(mu, sigma) with mu = ln(mean) - s^2/2."""
+    mu = np.log(max(mean, 1.0)) - sigma * sigma / 2.0
+    ln = rng.lognormal(mu, sigma, size=size)
+    return np.clip(np.rint(ln), 1, max(cap, 1)).astype(np.int64)
+
+
 def synthetic_aliccp_batch(
     rng: np.random.Generator,
     batch_size: int,
@@ -63,29 +99,50 @@ def synthetic_aliccp_batch(
     field_size: int = 11,
     multi_hot_pad: int = 64,
     avg_hot: int = 4,
+    avg_lens: Optional[Dict[str, float]] = None,
+    len_sigma: float = 1.0,
+    zipf_a: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Ali-CCP-shaped padded batch (layout of data/ragged.py): 11 common
     single-valued fields, 4 user multi-hot id/val fields, 3 scalar ad
     fields, 1 ad multi-hot field, labels y (click) and z (conversion,
     z=1 only when y=1 — the reference filters illegal y=0∧z=1 rows,
-    get_join_mapper.py:30-31)."""
+    get_join_mapper.py:30-31).
+
+    avg_lens: per-field mean multi-hot lengths (keys u_cat/u_shop/
+    u_brand/u_int/a_int; see PUBLISHED_MH_AVG_LENS) drawn with a
+    lognormal tail and clipped at the pad — the published length regime
+    for device benches. Default (None) keeps the legacy uniform
+    1..2*avg_hot draw. zipf_a > 0 draws ids as Zipf popularity ranks
+    (the remapped pipelines emit frequency-sorted ids)."""
     b, p = batch_size, multi_hot_pad
     hi = max(feature_size - 1, 2)
+
+    def draw_ids(size):
+        if zipf_a <= 0.0:
+            return rng.integers(1, hi, size=size).astype(np.int32)
+        z = rng.zipf(zipf_a, size=size)
+        return (1 + np.minimum(z - 1, hi - 2)).astype(np.int32)
+
+    def draw_lens(field, light_cap):
+        if avg_lens is None:
+            return rng.integers(1, min(light_cap, p) + 1, size=(b, 1))
+        return _lognormal_lengths(rng, avg_lens[field], len_sigma, (b, 1), p)
+
     out: Dict[str, np.ndarray] = {
-        "feat_ids": rng.integers(1, hi, size=(b, field_size)).astype(np.int32),
-        "a_catids": rng.integers(1, hi, size=(b,)).astype(np.int32),
-        "a_shopids": rng.integers(1, hi, size=(b,)).astype(np.int32),
-        "a_brandids": rng.integers(1, hi, size=(b,)).astype(np.int32),
+        "feat_ids": draw_ids((b, field_size)),
+        "a_catids": draw_ids((b,)),
+        "a_shopids": draw_ids((b,)),
+        "a_brandids": draw_ids((b,)),
         "mask": np.ones((b,), np.float32),
     }
     for f in ("u_cat", "u_shop", "u_brand", "u_int"):
-        ids = rng.integers(1, hi, size=(b, p)).astype(np.int32)
-        lens = rng.integers(1, min(avg_hot * 2, p) + 1, size=(b, 1))
-        keep = np.arange(p)[None, :] < lens
+        ids = draw_ids((b, p))
+        keep = np.arange(p)[None, :] < draw_lens(f, avg_hot * 2)
         out[f"{f}ids"] = np.where(keep, ids, 0).astype(np.int32)
         out[f"{f}vals"] = keep.astype(np.float32)
-    a_ids = rng.integers(1, hi, size=(b, p)).astype(np.int32)
-    a_keep = np.arange(p)[None, :] < rng.integers(1, min(avg_hot, p) + 1, size=(b, 1))
+    a_ids = draw_ids((b, p))
+    a_keep = np.arange(p)[None, :] < draw_lens("a_int", avg_hot)
     out["a_intids"] = np.where(a_keep, a_ids, 0).astype(np.int32)
     y = (rng.random(b) < 0.5).astype(np.float32)
     z = ((rng.random(b) < 0.3) & (y > 0)).astype(np.float32)
@@ -109,6 +166,12 @@ def main(argv=None):
     p.add_argument("--test", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--shards", type=int, default=1, help="tr file shards (multi-host input)")
+    p.add_argument("--mh_lens", default="legacy", choices=["legacy", "published"],
+                   help="aliccp multi-hot length regime: 'published' = "
+                        "largest field avg 250/sample with a lognormal "
+                        "tail (DeepMTL/README.md:21)")
+    p.add_argument("--zipf_a", type=float, default=0.0,
+                   help="aliccp id popularity skew (frequency-sorted remap analog)")
     a = p.parse_args(argv)
     import os
 
@@ -130,7 +193,12 @@ def main(argv=None):
             write_synthetic_csv(path, n, seed=a.seed + i)
         else:
             path = os.path.join(a.out_dir, f"{split}.samples.txt")
-            write_synthetic_aliccp(path, n, a.feature_size, seed=a.seed + i)
+            write_synthetic_aliccp(
+                path, n, a.feature_size, seed=a.seed + i, zipf_a=a.zipf_a,
+                mh_avg_lens=(
+                    PUBLISHED_MH_AVG_LENS if a.mh_lens == "published" else None
+                ),
+            )
         print(path)
 
 
@@ -169,6 +237,9 @@ def write_synthetic_aliccp(
     match_strength: float = 0.0,
     truth_path: str = "",
     zipf_a: float = 0.0,
+    mh_avg_lens: Optional[Dict[str, float]] = None,
+    mh_len_sigma: float = 1.0,
+    mh_max_len: int = 2048,
 ) -> None:
     """Ali-CCP joined/remapped sample lines (features/aliccp.py output
     format): ``sample_id,y,z,field:fid:val ...`` consumed by
@@ -197,7 +268,16 @@ def write_synthetic_aliccp(
     id distribution is load-bearing for the lazy sparse path: uniform
     ids at multi-million vocab have near-zero batch duplication, so the
     uids bucket blows past the Pallas VMEM cap — a worst case the real
-    remapped data never exhibits."""
+    remapped data never exhibits.
+
+    mh_avg_lens maps field prefixes (u_cat/u_shop/u_brand/u_int/a_int,
+    see PUBLISHED_MH_AVG_LENS) to mean multi-hot lengths; lengths are
+    drawn lognormal(sigma=mh_len_sigma), clipped to [1, mh_max_len] —
+    the published Ali-CCP length regime (largest field avg 250/sample,
+    DeepMTL/README.md:21). The file carries ALL drawn ids; truncation
+    is the READER's policy (multi_hot_pad, data/ragged.py). Default
+    None keeps the legacy uniform 1..multi_hot draw (and its exact rng
+    stream — existing seeds reproduce byte-identical files)."""
     rng = np.random.default_rng(seed)
 
     def draw_ids(size):
@@ -213,20 +293,40 @@ def write_synthetic_aliccp(
     b_z = float(np.log(cvr_given_click / (1.0 - cvr_given_click)))
     n_single = len(common_fields) + len(ad_fields)
     tf = open(truth_path, "w") if truth_path else None
+    # heavy-length mode: smaller chunks (per-field arrays are up to
+    # n x mh_max_len int64)
+    chunk_rows = 200_000
+    if mh_avg_lens is not None:
+        avg_total = sum(mh_avg_lens.values())
+        chunk_rows = max(2_000, int(2e6 / max(avg_total, 1.0)))
     with open(path, "w") as f:
-        for chunk_lo in range(0, num_samples, 200_000):
-            n = min(200_000, num_samples - chunk_lo)
+        for chunk_lo in range(0, num_samples, chunk_rows):
+            n = min(chunk_rows, num_samples - chunk_lo)
             # batched draws (the per-line rng.integers() calls dominated the
             # old loop); multi-hot slots beyond the per-row count are masked
             singles = draw_ids((n, n_single))
-            mh_cnt = rng.integers(1, multi_hot + 1, size=(n, len(mh_fields)))
-            mh_ids = draw_ids((n, len(mh_fields), multi_hot))
-            mh_mask = np.arange(multi_hot)[None, None, :] < mh_cnt[:, :, None]
+            if mh_avg_lens is None:
+                # legacy uniform draw — rng stream byte-identical to round 3
+                mh_cnt = rng.integers(1, multi_hot + 1, size=(n, len(mh_fields)))
+                mh_ids = draw_ids((n, len(mh_fields), multi_hot))
+                mh_mask = np.arange(multi_hot)[None, None, :] < mh_cnt[:, :, None]
+                cnt_pf = [mh_cnt[:, j] for j in range(len(mh_fields))]
+                ids_pf = [mh_ids[:, j, :] for j in range(len(mh_fields))]
+                mask_pf = [mh_mask[:, j, :] for j in range(len(mh_fields))]
+            else:
+                cnt_pf, ids_pf, mask_pf = [], [], []
+                for mh in mh_fields:
+                    mean = mh_avg_lens[_MH_TAG_TO_PREFIX[mh]]
+                    c = _lognormal_lengths(rng, mean, mh_len_sigma, (n,), mh_max_len)
+                    a = draw_ids((n, int(c.max())))
+                    cnt_pf.append(c)
+                    ids_pf.append(a)
+                    mask_pf.append(np.arange(a.shape[1])[None, :] < c[:, None])
             match = np.zeros(n, np.float64)
             if match_prob > 0.0:
                 m = rng.random(n) < match_prob
-                pick = rng.integers(0, mh_cnt[:, 0])  # per-row choice in history
-                matched_id = mh_ids[np.arange(n), 0, pick]
+                pick = rng.integers(0, cnt_pf[0])  # per-row choice in history
+                matched_id = ids_pf[0][np.arange(n), pick]
                 # ad category (first ad field, "206") := a history id
                 singles[:, n_single - len(ad_fields)] = np.where(
                     m, matched_id, singles[:, n_single - len(ad_fields)]
@@ -234,17 +334,27 @@ def write_synthetic_aliccp(
                 # label follows the TRUE containment, which can also occur
                 # by chance for unmatched rows
                 match = (
-                    (mh_ids[:, 0, :] == singles[:, n_single - len(ad_fields), None])
-                    & mh_mask[:, 0, :]
+                    (ids_pf[0] == singles[:, n_single - len(ad_fields), None])
+                    & mask_pf[0]
                 ).any(1).astype(np.float64)
             if strength > 0.0 or match_strength > 0.0:
-                wsum_y = _planted_id_weight(singles, 1).sum(1) + (
-                    _planted_id_weight(mh_ids, 1) * mh_mask
-                ).sum((1, 2))
-                wsum_z = _planted_id_weight(singles, 2).sum(1) + (
-                    _planted_id_weight(mh_ids, 2) * mh_mask
-                ).sum((1, 2))
-                n_ids = n_single + mh_cnt.sum(1)
+                if mh_avg_lens is None:
+                    # keep the legacy 3D summation order (float-exact
+                    # reproducibility of recorded seeds)
+                    mh_y = (_planted_id_weight(mh_ids, 1) * mh_mask).sum((1, 2))
+                    mh_z = (_planted_id_weight(mh_ids, 2) * mh_mask).sum((1, 2))
+                else:
+                    mh_y = sum(
+                        (_planted_id_weight(a, 1) * mk).sum(1)
+                        for a, mk in zip(ids_pf, mask_pf)
+                    )
+                    mh_z = sum(
+                        (_planted_id_weight(a, 2) * mk).sum(1)
+                        for a, mk in zip(ids_pf, mask_pf)
+                    )
+                wsum_y = _planted_id_weight(singles, 1).sum(1) + mh_y
+                wsum_z = _planted_id_weight(singles, 2).sum(1) + mh_z
+                n_ids = n_single + np.sum(np.stack(cnt_pf, 1), axis=1)
                 p_y = 1.0 / (1.0 + np.exp(
                     -(b_y + strength * wsum_y / n_ids + match_strength * match)
                 ))
@@ -255,15 +365,16 @@ def write_synthetic_aliccp(
             y = (rng.random(n) < p_y).astype(np.int64)
             z = y * (rng.random(n) < p_z).astype(np.int64)
             # formatting Python ints is ~5x formatting np.int64 scalars
-            singles_l, mh_ids_l, mh_cnt_l = singles.tolist(), mh_ids.tolist(), mh_cnt.tolist()
+            singles_l = singles.tolist()
+            ids_l = [a.tolist() for a in ids_pf]
+            cnt_l = [c.tolist() for c in cnt_pf]
             y_l, z_l = y.tolist(), z.tolist()
             nc = len(common_fields)
             for r in range(n):
                 srow = singles_l[r]
                 feats = [f"{c}:{v}:1.0" for c, v in zip(common_fields, srow)]
-                mrow, crow = mh_ids_l[r], mh_cnt_l[r]
                 for j, mh in enumerate(mh_fields):
-                    feats += [f"{mh}:{v}:1.0" for v in mrow[j][: crow[j]]]
+                    feats += [f"{mh}:{v}:1.0" for v in ids_l[j][r][: cnt_l[j][r]]]
                 feats += [f"{c}:{v}:1.0" for c, v in zip(ad_fields, srow[nc:])]
                 if tf is not None:
                     tf.write(f"{y_l[r]} {z_l[r]} {p_y[r]:.6f} {p_z[r]:.6f}\n")

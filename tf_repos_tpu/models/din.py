@@ -36,9 +36,21 @@ from tf_repos_tpu.models.base import (
     State,
 )
 from tf_repos_tpu.ops import towers as T
-from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init
+from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init, xla_coo_pool
 
 USER_FIELDS = ("u_cat", "u_shop", "u_brand", "u_int")
+
+# --mh_coo groups. With --attention_pooling the four user fields need
+# their per-slot padded sequences (the attention MLP scores every
+# behavior item, DIN.py:152-173) and ride --mh_bucket instead; only the
+# sum-combined ad-intention field (DIN.py:148) can ride COO. Without
+# attention every field is a weighted sum-pool (DIN.py:179-183) — the
+# full ESMM-shaped group set applies.
+MH_COO_GROUPS_SUMPOOL = (
+    ("u_cat", True), ("u_shop", True), ("u_brand", True), ("u_int", True),
+    ("a_int", False),
+)
+MH_COO_GROUPS_ATTENTION = (("a_int", False),)
 
 
 class DIN(CtrModel):
@@ -115,33 +127,62 @@ class DIN(CtrModel):
     ) -> Tuple[Outputs, State]:
         cfg = self.cfg
         emb_t = params["emb"]
-        # ONE fused gather for every field (see models/esmm.py: each
-        # separate lookup would materialize its own dense [V,K] cotangent
-        # in the backward — table-sized traffic per call site)
-        p = batch["u_catids"].shape[1]
+        from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_IDX, MHC_W
+
         fc = batch["feat_ids"].shape[1]
-        all_ids = jnp.concatenate(
-            [
-                batch["feat_ids"],
-                *[batch[f"{f}ids"] for f in USER_FIELDS],
-                batch["a_catids"][:, None],
-                batch["a_shopids"][:, None],
-                batch["a_brandids"][:, None],
-                batch["a_intids"],
-            ],
-            axis=1,
-        )
-        rows = lookup(emb_t, all_ids)  # [B, fc+4p+3+p, K]
+        b = batch["feat_ids"].shape[0]
+        coo = MHC_IDX in batch
+        # fields that ride the COO pack (--mh_coo) are ABSENT from the
+        # batch: with attention only the sum-combined a_int group packs
+        # (the attention MLP needs every padded behavior slot); without
+        # attention all five groups pack, like ESMM
+        groups = self.mh_coo_groups() if coo else ()
+        padded_user = [f for f in USER_FIELDS if f"{f}ids" in batch]
+        # ONE fused gather for every padded field (see models/esmm.py:
+        # each separate lookup would materialize its own dense [V,K]
+        # cotangent in the backward — table-sized traffic per call site).
+        # Per-field widths MAY differ (--mh_bucket slices each field to
+        # its own pow2 live width), so offsets are cumulative.
+        parts = [batch["feat_ids"]]
+        user_off = {}
+        off = fc
+        for f in padded_user:
+            w = batch[f"{f}ids"].shape[1]
+            parts.append(batch[f"{f}ids"])
+            user_off[f] = (off, w)
+            off += w
+        parts += [
+            batch["a_catids"][:, None],
+            batch["a_shopids"][:, None],
+            batch["a_brandids"][:, None],
+        ]
+        scalar_off = off
+        off += 3
+        if "a_intids" in batch:
+            parts.append(batch["a_intids"])
+        rows = lookup(emb_t, jnp.concatenate(parts, axis=1))
         common = rows[:, :fc]  # [B,Fc,K]
-        user_rows = {
-            f: rows[:, fc + i * p : fc + (i + 1) * p] for i, f in enumerate(USER_FIELDS)
-        }
-        off = fc + 4 * p
-        a_cat, a_shop, a_brand = rows[:, off], rows[:, off + 1], rows[:, off + 2]
-        int_mask = (batch["a_intids"] > 0).astype(common.dtype)
-        a_int = jnp.einsum(
-            "bpk,bp->bk", rows[:, off + 3 : off + 3 + p], int_mask
-        )  # sum combiner (DIN.py:148)
+        user_rows = {f: rows[:, o : o + w] for f, (o, w) in user_off.items()}
+        a_cat = rows[:, scalar_off]
+        a_shop = rows[:, scalar_off + 1]
+        a_brand = rows[:, scalar_off + 2]
+        coo_pooled = None
+        if coo:
+            ng = len(groups)
+            pool = getattr(lookup, "coo_pool", xla_coo_pool)
+            coo_pooled = pool(
+                emb_t,
+                batch[MHC_IDX].reshape(-1),
+                batch[MHC_DEST].reshape(-1),
+                batch[MHC_W].reshape(-1),
+                b * ng,
+            ).reshape(b, ng, -1).astype(common.dtype)
+            a_int = coo_pooled[:, ng - 1]  # a_int is the last group
+        else:
+            int_mask = (batch["a_intids"] > 0).astype(common.dtype)
+            a_int = jnp.einsum(
+                "bpk,bp->bk", rows[:, off:], int_mask
+            )  # sum combiner (DIN.py:148)
 
         ad_emb = {"u_cat": a_cat, "u_shop": a_shop, "u_brand": a_brand, "u_int": a_int}
 
@@ -157,7 +198,11 @@ class DIN(CtrModel):
             mlp_rng = None
 
         att_state = state.get("att_mlp")
-        for f in USER_FIELDS:
+        for i, f in enumerate(USER_FIELDS):
+            if coo and not cfg.attention_pooling:
+                # the group order of MH_COO_GROUPS_SUMPOOL: u_* at 0..3
+                pooled.append(coo_pooled[:, i])
+                continue
             ids = batch[f"{f}ids"]
             vals = batch[f"{f}vals"]
             mask = (ids > 0).astype(common.dtype)
@@ -206,3 +251,8 @@ class DIN(CtrModel):
 
     def sparse_slots(self):
         return {"emb": SparseSlot(("feat_ids", "u_catids", "u_shopids", "u_brandids", "u_intids", "a_catids", "a_shopids", "a_brandids", "a_intids"), self.cfg.feature_size)}
+
+    def mh_coo_groups(self):
+        if self.cfg.attention_pooling:
+            return MH_COO_GROUPS_ATTENTION
+        return MH_COO_GROUPS_SUMPOOL

@@ -121,8 +121,9 @@ class ESMM(CtrModel):
             # materialize its own dense [V,K] cotangent in the backward
             # pass — at Ali-CCP scale (4.5M rows) that is ~288MB of
             # zero-init + scatter PER CALL SITE; fusing 9 call sites into
-            # one cuts the backward's table-sized traffic 9x.
-            p = batch["u_catids"].shape[1]
+            # one cuts the backward's table-sized traffic 9x. Per-field
+            # widths MAY differ (--mh_bucket slices each field to its own
+            # pow2 live width) — offsets are cumulative.
             all_ids = jnp.concatenate(
                 [
                     batch["feat_ids"],
@@ -134,7 +135,7 @@ class ESMM(CtrModel):
                 ],
                 axis=1,
             )
-            rows = lookup(emb_t, all_ids)  # [B, fc+4p+3+p, K]
+            rows = lookup(emb_t, all_ids)  # [B, fc+sum(w_f)+3+w_a, K]
             common = rows[:, :fc]  # unscaled (:154)
             off = fc
             pooled = []
@@ -142,8 +143,8 @@ class ESMM(CtrModel):
                 ids = batch[f"{f}ids"]
                 vals = batch[f"{f}vals"]
                 mask = (ids > 0).astype(rows.dtype)
-                demb = rows[:, off : off + p]
-                off += p
+                demb = rows[:, off : off + ids.shape[1]]
+                off += ids.shape[1]
                 pooled.append(jnp.einsum("bpk,bp->bk", demb, mask * vals))  # sum combiner
 
             a_cat = rows[:, off]
@@ -151,7 +152,7 @@ class ESMM(CtrModel):
             a_brand = rows[:, off + 2]
             off += 3
             int_mask = (batch["a_intids"] > 0).astype(rows.dtype)
-            a_int = jnp.einsum("bpk,bp->bk", rows[:, off : off + p], int_mask)
+            a_int = jnp.einsum("bpk,bp->bk", rows[:, off:], int_mask)
 
         x = jnp.concatenate(
             [common.reshape(common.shape[0], -1), *pooled, a_cat, a_shop, a_brand, a_int],

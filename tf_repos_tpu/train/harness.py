@@ -168,8 +168,11 @@ class Harness:
             if not groups:
                 raise ValueError(
                     f"--mh_coo: {self.model.name} declares no sum-pooled "
-                    "multi-hot groups (DIN's attention needs the padded "
-                    "sequence; libsvm/csv models have no ragged fields)"
+                    "multi-hot groups (libsvm/csv models have no ragged "
+                    "fields). ESMM packs all 5 groups; DIN packs a_int "
+                    "always, plus the 4 user fields when "
+                    "--attention_pooling=false (attention needs the padded "
+                    "per-slot sequence — ride --mh_bucket for those)."
                 )
             # multi-host is handled: each host packs its LOCAL batch over
             # its local data shards, and GlobalUidsUnion re-pads every
