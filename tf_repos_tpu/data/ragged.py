@@ -110,17 +110,27 @@ def parse_aliccp_lines(lines: Sequence[bytes], multi_hot_pad: int = 64) -> Batch
 
 
 def auto_multi_hot_pad(
-    filenames: Sequence[str], sample_lines: int = 2000, pct: float = 95.0
+    filenames: Sequence[str], sample_lines: int = 2000, pct: float = 99.0
 ) -> int:
-    """Pick the static pad length from the data: the p95 multi-hot field
-    length over a sample, rounded up to a multiple of 8 (min 8).
+    """Pick the static pad length from the data: the max over fields of
+    the PER-FIELD p99 length over a sample, rounded up to a multiple of
+    8 (min 8). Configure multi_hot_pad=0 to use this.
 
-    Every padding slot costs a real HBM gather/scatter row on TPU
-    (measured ~4x step time at pad=64 vs pad=16 when true lengths are
-    ~4-8), so oversized static pads directly tax throughput. Configure
-    multi_hot_pad=0 to use this."""
-    lengths: List[int] = []
-    mh_fields = set(UMH_FIELDS) | {AD_MH_FIELD[0]}
+    Why per-field p99 (changed from pooled p95 in round 4): the
+    published Ali-CCP length regime is wildly skewed per field — the
+    largest field averages 250 ids/sample (DeepMTL/README.md:21) while
+    others average ~5-40 — so a POOLED percentile is dominated by the
+    small fields and silently truncates most of the heavy field's
+    history (the reference's VarLen input consumes ALL values,
+    DIN.py:65-76; truncation costs AUC — measured curve in
+    TRUNCATION.md). A generous pad is cheap when composed with the
+    pad-waste levers: --mh_coo makes the device cost proportional to
+    LIVE ids and --mh_bucket slices dead columns on the host; without
+    them every padding slot costs a real HBM row move (measured ~4x
+    step time at pad=64 vs pad=16 when true lengths are ~4-8)."""
+    per_field: Dict[str, List[int]] = {
+        m: [] for m in set(UMH_FIELDS) | {AD_MH_FIELD[0]}
+    }
     seen = 0
     for path in filenames:
         if seen >= sample_lines:
@@ -132,16 +142,19 @@ def auto_multi_hot_pad(
                 parts = line.strip().split(b",")
                 if len(parts) != 4:
                     continue
-                counts = {m: 0 for m in mh_fields}
+                counts = {m: 0 for m in per_field}
                 for tok in parts[3].split():
                     fv = tok.split(b":")
                     if len(fv) == 3 and fv[0].decode() in counts:
                         counts[fv[0].decode()] += 1
-                lengths.extend(counts.values())
+                for m, c in counts.items():
+                    per_field[m].append(c)
                 seen += 1
-    if not lengths:
+    if not seen:
         return 64
-    p = int(np.percentile(np.asarray(lengths), pct))
+    p = max(
+        int(np.percentile(np.asarray(v), pct)) for v in per_field.values() if v
+    )
     return max(8, ((p + 7) // 8) * 8)
 
 

@@ -40,17 +40,22 @@ from tf_repos_tpu.ops.embedding import dense_lookup, glorot_normal_init, xla_coo
 
 USER_FIELDS = ("u_cat", "u_shop", "u_brand", "u_int")
 
-# --mh_coo groups. With --attention_pooling the four user fields need
-# their per-slot padded sequences (the attention MLP scores every
-# behavior item, DIN.py:152-173) and ride --mh_bucket instead; only the
-# sum-combined ad-intention field (DIN.py:148) can ride COO. Without
-# attention every field is a weighted sum-pool (DIN.py:179-183) — the
-# full ESMM-shaped group set applies.
-MH_COO_GROUPS_SUMPOOL = (
+# --mh_coo groups: all five multi-hot groups pack, with or without
+# attention. Sum-pools (DIN.py:148,179-183) ride the COO segment pool
+# directly; attention (DIN.py:152-173) runs its MLP over the LIVE COO
+# slots instead of every padded position — identical math (a dead slot
+# contributes 0 to the masked weighted sum either way) at ~1/7 the MLP
+# rows in the published length regime (avg ~300 live of ~2176 padded
+# slots/sample at pad 512). Two documented deviations when the
+# attention MLP is stochastic/normalized: dropout draws align to live
+# slots (not padded positions), and --batch_norm statistics are
+# computed over live slots — the reference's stats include its padded
+# positions (sparse_tensor_to_dense rows beyond each sample's length,
+# DIN.py:152-173), which is a padding artifact, not a semantic.
+MH_COO_GROUPS = (
     ("u_cat", True), ("u_shop", True), ("u_brand", True), ("u_int", True),
     ("a_int", False),
 )
-MH_COO_GROUPS_ATTENTION = (("a_int", False),)
 
 
 class DIN(CtrModel):
@@ -133,9 +138,8 @@ class DIN(CtrModel):
         b = batch["feat_ids"].shape[0]
         coo = MHC_IDX in batch
         # fields that ride the COO pack (--mh_coo) are ABSENT from the
-        # batch: with attention only the sum-combined a_int group packs
-        # (the attention MLP needs every padded behavior slot); without
-        # attention all five groups pack, like ESMM
+        # batch — all five multi-hot groups pack (MH_COO_GROUPS); the
+        # attention MLP runs over the live COO slots
         groups = self.mh_coo_groups() if coo else ()
         padded_user = [f for f in USER_FIELDS if f"{f}ids" in batch]
         # ONE fused gather for every padded field (see models/esmm.py:
@@ -166,28 +170,7 @@ class DIN(CtrModel):
         a_cat = rows[:, scalar_off]
         a_shop = rows[:, scalar_off + 1]
         a_brand = rows[:, scalar_off + 2]
-        coo_pooled = None
-        if coo:
-            ng = len(groups)
-            pool = getattr(lookup, "coo_pool", xla_coo_pool)
-            coo_pooled = pool(
-                emb_t,
-                batch[MHC_IDX].reshape(-1),
-                batch[MHC_DEST].reshape(-1),
-                batch[MHC_W].reshape(-1),
-                b * ng,
-            ).reshape(b, ng, -1).astype(common.dtype)
-            a_int = coo_pooled[:, ng - 1]  # a_int is the last group
-        else:
-            int_mask = (batch["a_intids"] > 0).astype(common.dtype)
-            a_int = jnp.einsum(
-                "bpk,bp->bk", rows[:, off:], int_mask
-            )  # sum combiner (DIN.py:148)
-
-        ad_emb = {"u_cat": a_cat, "u_shop": a_shop, "u_brand": a_brand, "u_int": a_int}
-
         new_state: State = {}
-        pooled = []
         keys = {}
         if train and rng is not None:
             ks = jax.random.split(rng, len(USER_FIELDS) + 1)
@@ -197,31 +180,92 @@ class DIN(CtrModel):
             keys = {f: None for f in USER_FIELDS}
             mlp_rng = None
 
-        att_state = state.get("att_mlp")
-        for i, f in enumerate(USER_FIELDS):
-            if coo and not cfg.attention_pooling:
-                # the group order of MH_COO_GROUPS_SUMPOOL: u_* at 0..3
-                pooled.append(coo_pooled[:, i])
-                continue
-            ids = batch[f"{f}ids"]
-            vals = batch[f"{f}vals"]
-            mask = (ids > 0).astype(common.dtype)
-            demb = user_rows[f] * vals[..., None]  # [B,P,K]
+        if coo:
+            ng = len(groups)
+            pool = getattr(lookup, "coo_pool", xla_coo_pool)
+            idxf = batch[MHC_IDX].reshape(-1)
+            destf = batch[MHC_DEST].reshape(-1)
+            wf = batch[MHC_W].reshape(-1)
+            # plain segment sums for every group: a_int's sum combiner
+            # (DIN.py:148) and, under attention, the ad-side pairing input
+            sums = pool(emb_t, idxf, destf, wf, b * ng)
+            sums = sums.reshape(b, ng, -1).astype(common.dtype)
+            a_int = sums[:, ng - 1]
             if cfg.attention_pooling:
-                pool, att_state = self._attention_unit(
-                    params,
-                    {"att_mlp": att_state},
-                    demb,
-                    mask,
-                    ad_emb[f],
-                    train=train,
-                    rng=keys[f],
+                # attention over LIVE slots: per live slot j with group
+                # g = dest[j] % ng, score MLP([d, d - a_g, a_g]) where
+                # d = w[j] * emb[idx[j]] — exactly DIN.py:152-173 with the
+                # dead padded positions skipped (they contribute 0 to the
+                # masked weighted sum either way). a_int slots pass
+                # through with weight 1 (the reference's plain sum).
+                d_rows = (
+                    lookup(emb_t, idxf).astype(common.dtype)
+                    * wf[:, None].astype(common.dtype)
                 )
-            else:  # plain weighted sum-pool (DIN.py:179-183)
-                pool = jnp.einsum("bpk,bp->bk", demb, mask)
-            pooled.append(pool)
-        if cfg.attention_pooling:
-            new_state["att_mlp"] = att_state
+                # group g pairs with ad embedding: u_cat<->a_cat,
+                # u_shop<->a_shop, u_brand<->a_brand, u_int<->a_int;
+                # the trailing a_int group's pairing is unused (w stays 1)
+                ad_all = jnp.stack([a_cat, a_shop, a_brand, a_int, a_int], axis=1)
+                a_sel = ad_all.reshape(b * ng, -1)[destf]
+                xatt = jnp.concatenate([d_rows, d_rows - a_sel, a_sel], axis=1)
+                h, new_state["att_mlp"] = T.apply_mlp(
+                    params["att_mlp"],
+                    state["att_mlp"],
+                    xatt,
+                    keep_probs=cfg.dropout_list,
+                    train=train,
+                    rng=keys[USER_FIELDS[0]],
+                    batch_norm=cfg.batch_norm,
+                    bn_decay=cfg.batch_norm_decay,
+                    compute_dtype=cfg.tower_dtype,
+                )
+                wgt = jax.nn.sigmoid(T.dense(params["att_out"], h))[:, 0]
+                w_eff = jnp.where(
+                    destf % ng == ng - 1, wf, wf * wgt.astype(wf.dtype)
+                )
+                # xla_coo_pool, NOT the (possibly Pallas) lookup.coo_pool:
+                # the attention weights differentiate THROUGH w here, and
+                # make_coo_pool's custom_vjp declares w non-differentiable
+                # (zero cotangent) — XLA AD provides the exact transpose
+                att_pooled = (
+                    xla_coo_pool(emb_t, idxf, destf, w_eff, b * ng)
+                    .reshape(b, ng, -1)
+                    .astype(common.dtype)
+                )
+                pooled = [att_pooled[:, i] for i in range(len(USER_FIELDS))]
+            else:
+                pooled = [sums[:, i] for i in range(len(USER_FIELDS))]
+        else:
+            int_mask = (batch["a_intids"] > 0).astype(common.dtype)
+            a_int = jnp.einsum(
+                "bpk,bp->bk", rows[:, off:], int_mask
+            )  # sum combiner (DIN.py:148)
+            ad_emb = {
+                "u_cat": a_cat, "u_shop": a_shop, "u_brand": a_brand,
+                "u_int": a_int,
+            }
+            pooled = []
+            att_state = state.get("att_mlp")
+            for f in USER_FIELDS:
+                ids = batch[f"{f}ids"]
+                vals = batch[f"{f}vals"]
+                mask = (ids > 0).astype(common.dtype)
+                demb = user_rows[f] * vals[..., None]  # [B,P,K]
+                if cfg.attention_pooling:
+                    pl_, att_state = self._attention_unit(
+                        params,
+                        {"att_mlp": att_state},
+                        demb,
+                        mask,
+                        ad_emb[f],
+                        train=train,
+                        rng=keys[f],
+                    )
+                else:  # plain weighted sum-pool (DIN.py:179-183)
+                    pl_ = jnp.einsum("bpk,bp->bk", demb, mask)
+                pooled.append(pl_)
+            if cfg.attention_pooling:
+                new_state["att_mlp"] = att_state
 
         x = jnp.concatenate(
             [common.reshape(common.shape[0], -1), *pooled, a_cat, a_shop, a_brand, a_int],
@@ -253,6 +297,4 @@ class DIN(CtrModel):
         return {"emb": SparseSlot(("feat_ids", "u_catids", "u_shopids", "u_brandids", "u_intids", "a_catids", "a_shopids", "a_brandids", "a_intids"), self.cfg.feature_size)}
 
     def mh_coo_groups(self):
-        if self.cfg.attention_pooling:
-            return MH_COO_GROUPS_ATTENTION
-        return MH_COO_GROUPS_SUMPOOL
+        return MH_COO_GROUPS
