@@ -67,6 +67,7 @@ def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
     from tf_repos_tpu.models import create_model
     from tf_repos_tpu.ops.pallas_sparse import (
         VMEM_ROW_CAP,
+        fits_vmem_packed,
         make_vmem_expand_lookup,
     )
     from tf_repos_tpu.train import sparse as SP
@@ -133,7 +134,13 @@ def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
         "model": model_name, "pad": pad, "zipf": zipf,
         "coo": coo, "bucket": bucket,
         "live_mh_slots": live, "unique_ids": uniq, "uids_bucket": s_pad,
-        "pallas_engaged": s_pad <= VMEM_ROW_CAP,
+        # "full": both directions VMEM-pinned; "packed_bwd": XLA gather
+        # fwd + lane-packed Pallas accumulate bwd (tier 2); False: XLA
+        "pallas_engaged": (
+            "full" if s_pad <= VMEM_ROW_CAP
+            else ("packed_bwd" if fits_vmem_packed(s_pad, cfg.embedding_size)
+                  else False)
+        ),
         "wire_bytes_per_batch": wire_bytes,
         "host_ms_per_batch": round(host_ms, 2),
         "step_ms": round(ms, 2),

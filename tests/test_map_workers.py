@@ -94,9 +94,16 @@ def test_parallel_chain_content_matches_sequential():
     # fixed floors force identical widths -> outputs must be bit-identical
     seq_chain = _chain_factory(model)()
     seq = [seq_chain(dict(b)) for b in raw]
+    # the FULL harness pad_rules (train/harness._map_pad_rules): all
+    # three COO keys re-monotonize — with the quarter-pow2 ladder,
+    # worker-local bucket divergence is common, and an idx-only rule
+    # leaves dest/w at worker widths (caught when the ladder landed)
+    from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_W
+
     par = list(parallel_mapped_batches(
         iter([dict(b) for b in raw]), _chain_factory(model), workers=3,
-        pad_rules={UIDS_PREFIX + "emb": 800, MHC_IDX: 0},
+        pad_rules={UIDS_PREFIX + "emb": 800, MHC_IDX: 0, MHC_DEST: 0,
+                   MHC_W: 0.0},
     ))
     assert len(par) == len(seq)
     for s, p in zip(seq, par):

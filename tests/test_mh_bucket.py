@@ -18,7 +18,7 @@ import pytest
 
 from tf_repos_tpu.config import Config
 from tf_repos_tpu.data.ragged import MH_PAIRS
-from tf_repos_tpu.data.sparse_batch import MhPadBucketer
+from tf_repos_tpu.data.sparse_batch import MhPadBucketer, quarter_pow2
 from tf_repos_tpu.data.synthetic import synthetic_aliccp_batch, write_synthetic_aliccp
 from tf_repos_tpu.models import create_model
 from tf_repos_tpu.train.harness import Harness, run_task
@@ -32,6 +32,17 @@ def _batch(pad=64, avg_hot=4, b=16, fs=800, seed=0):
 
 
 # ------------------------------------------------------------ bucketer unit
+def test_quarter_pow2_ladder():
+    # smallest {1,1.25,1.5,1.75,2}x-pow2 value >= m; <=25% padding waste
+    assert [quarter_pow2(m) for m in (1, 2, 3, 5, 8, 9, 11, 13, 15, 16)] == [
+        1, 2, 4, 5, 8, 10, 12, 14, 16, 16]
+    for m in (100, 1000, 1 << 20, 1_201_081):
+        q = quarter_pow2(m)
+        assert m <= q < m * 1.25 + 4
+        # ladder values are closed under max (the multi-host consensus)
+        assert quarter_pow2(q) == q
+
+
 def test_slices_to_pow2_of_live_width():
     b = _batch(pad=64, avg_hot=4)
     widths = {
@@ -41,7 +52,7 @@ def test_slices_to_pow2_of_live_width():
     out = MhPadBucketer(MH_PAIRS)(b)
     for ids_f, vals_f in MH_PAIRS:
         w = widths[ids_f]
-        expect = 1 << max(w - 1, 0).bit_length()  # pow2 >= live width
+        expect = quarter_pow2(w)  # quarter-pow2 >= live width
         assert out[ids_f].shape[-1] == min(expect, 64), ids_f
         if vals_f:
             assert out[vals_f].shape == out[ids_f].shape
@@ -54,9 +65,9 @@ def test_monotonic_growth_and_shrink_resistance():
     bk = MhPadBucketer([("xids", None)])
     mk = lambda w, pad=64: {"xids": np.pad(np.ones((4, w), np.int32), [(0, 0), (0, pad - w)])}
     assert bk(mk(3))["xids"].shape[-1] == 4
-    assert bk(mk(9))["xids"].shape[-1] == 16
+    assert bk(mk(9))["xids"].shape[-1] == 10  # quarter-pow2 ladder
     # a later narrow batch keeps the grown bucket (one compile, not a flip)
-    assert bk(mk(2))["xids"].shape[-1] == 16
+    assert bk(mk(2))["xids"].shape[-1] == 10
 
 
 def test_floor_mode_skips_growth_ladder():

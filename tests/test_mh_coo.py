@@ -161,7 +161,9 @@ def test_packer_coo_equals_padded_pooling():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_packer_bucket_grows_monotonically_pow2():
+def test_packer_bucket_grows_monotonically_on_ladder():
+    from tf_repos_tpu.data.sparse_batch import quarter_pow2
+
     cfg = _esmm_cfg(batch_size=16)
     model = create_model(cfg)
     packer = MhCooPacker(model.mh_coo_groups(), floor=8)
@@ -171,7 +173,7 @@ def test_packer_bucket_grows_monotonically_pow2():
         packed = packer(mapper(b))
         m = packed[MHC_IDX].shape[-1]
         sizes.append(m)
-        assert m & (m - 1) == 0  # pow2
+        assert quarter_pow2(m) == m  # on the quarter-pow2 ladder
     assert sizes == sorted(sizes)  # monotonic
 
 

@@ -96,6 +96,103 @@ def test_lookup_cap_falls_back_to_xla():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-6)
 
 
+@pytest.mark.parametrize("n,s,k", [(4096, 500, 16), (1000, 77, 32), (600, 33, 64)])
+def test_accumulate_packed_matches_xla(n, s, k):
+    # the lane-packed accumulator ([ceil(s/pack),128] layout, dynamic
+    # pltpu.roll placement) — the above-VMEM_ROW_CAP backward
+    rng = np.random.default_rng(6)
+    g = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    idx = jnp.asarray(
+        np.minimum(rng.zipf(1.3, size=(n,)) - 1, s - 1), jnp.int32
+    )
+    got = PS.accumulate_rows_packed(g, idx, s, chunk=256, unroll=8)
+    want = PS.accumulate_reference(g, idx, s)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_coo_accumulate_packed_matches_reference():
+    rng = np.random.default_rng(7)
+    m, s, g_out, k = 3000, 200, 48, 16
+    dp = jnp.asarray(rng.standard_normal((g_out, k)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, s, size=(m,)), jnp.int32)
+    dest = jnp.asarray(rng.integers(0, g_out, size=(m,)), jnp.int32)
+    w = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    got = PS.coo_accumulate_rows_packed(dp, idx, dest, w, s, chunk=256, unroll=8)
+    want = (
+        jnp.zeros((s, k), jnp.float32)
+        .at[idx]
+        .add(dp[dest] * w[:, None])
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_lookup_tier2_packed_grads_match_xla(monkeypatch):
+    # force tier 2 (S above the row cap, inside the packed cap): XLA
+    # gather forward + lane-packed accumulate backward
+    monkeypatch.setattr(PS, "VMEM_ROW_CAP", 32)
+    rng = np.random.default_rng(8)
+    s, k, b, f = 64, 16, 16, 5
+    rows = jnp.asarray(rng.standard_normal((s, k)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, s, size=(b, f)), jnp.int32)
+    lookup = PS.make_vmem_expand_lookup(chunk=128, unroll=8)
+    w = jnp.asarray(rng.standard_normal((f, k)), jnp.float32)
+    v_pl, g_pl = jax.value_and_grad(lambda r: jnp.sum(lookup(r, ids) * w))(rows)
+    v_x, g_x = jax.value_and_grad(lambda r: jnp.sum(r[ids] * w))(rows)
+    np.testing.assert_allclose(float(v_pl), float(v_x), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_x), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_coo_pool_tier2_packed_grads_match_reference(monkeypatch):
+    monkeypatch.setattr(PS, "VMEM_ROW_CAP", 32)
+    rng = np.random.default_rng(9)
+    s, k, m, n_out = 80, 16, 500, 24
+    rows = jnp.asarray(rng.standard_normal((s, k)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, s, size=(m,)), jnp.int32)
+    dest = jnp.asarray(rng.integers(0, n_out, size=(m,)), jnp.int32)
+    w = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    pool = PS.make_coo_pool(chunk=128, unroll=8)
+
+    def loss_pl(r):
+        return jnp.sum(pool(r, idx, dest, w, n_out) ** 2)
+
+    def loss_ref(r):
+        return jnp.sum(PS.coo_pool_reference(r, idx, dest, w, n_out) ** 2)
+
+    v_pl, g_pl = jax.value_and_grad(loss_pl)(rows)
+    v_x, g_x = jax.value_and_grad(loss_ref)(rows)
+    np.testing.assert_allclose(float(v_pl), float(v_x), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_above_packed_cap_warns_and_falls_back(monkeypatch):
+    # K=17 can never lane-pack (128 % 17 != 0): above the row cap the
+    # lookup must warn ONCE per shape and keep XLA semantics
+    monkeypatch.setattr(PS, "VMEM_ROW_CAP", 32)
+    PS._warned_shapes.clear()
+    rng = np.random.default_rng(10)
+    rows = jnp.asarray(rng.standard_normal((64, 17)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, size=(12,)), jnp.int32)
+    lookup = PS.make_vmem_expand_lookup(chunk=128, unroll=8)
+    with pytest.warns(UserWarning, match="falling back to XLA"):
+        out = lookup(rows, ids)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(rows[ids]))
+    # second call with the same shape: no duplicate warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        lookup(rows, ids)
+    PS._warned_shapes.clear()
+
+
 def test_sparse_step_with_pallas_expand_matches_plain():
     # one full sparse train step: --pallas_expand routing vs the XLA
     # inner lookup — identical trajectories to float tolerance

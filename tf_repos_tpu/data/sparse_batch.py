@@ -115,6 +115,28 @@ MHC_DEST = "__mhc_dest"
 MHC_W = "__mhc_w"
 
 
+def quarter_pow2(m: int) -> int:
+    """Smallest value >= m on the quarter-pow2 ladder {h, 1.25h, 1.5h,
+    1.75h, 2h} (h = pow2). Pure pow2 buckets waste up to 100% of every
+    M-proportional device op on padding — measured at the published
+    Ali-CCP point: 1.20M live COO slots -> 2.10M pow2 bucket, 75%
+    overhead on the gather/scatter/pool chain that dominates the step.
+    The quarter ladder caps padding waste at 25% for ~2 extra recompiles
+    per doubling (monotonic growth still bounds total recompiles to
+    ~4x log2(spread) for the run)."""
+    m = int(m)
+    if m <= 1:
+        return 1
+    p = 1 << (m - 1).bit_length()
+    q = p >> 3  # h/4
+    if q:
+        h = p >> 1
+        for c in (h + q, h + 2 * q, h + 3 * q):
+            if m <= c:
+                return c
+    return p
+
+
 class MhPadBucketer:
     """Slice padded multi-hot fields to the batch's live width (--mh_bucket).
 
@@ -126,9 +148,9 @@ class MhPadBucketer:
     --mh_coo removes the waste for SUM-POOLED groups by re-packing live
     slots as COO; DIN's attention is per-slot and cannot sum-pool, so
     this bucketer attacks the same waste one level earlier: slice each
-    field to a per-field pow2 bucket of the batch's last live column
-    (monotonic growth, the uids-bucket recompile rule; "pow2:<floor>"
-    starts every bucket at <floor>).
+    field to a per-field quarter-pow2 bucket of the batch's last live
+    column (monotonic growth, the uids-bucket recompile rule;
+    "pow2:<floor>" starts every bucket at <floor>).
 
     Exactness: a column is dropped only if EVERY row has id == 0 there,
     and id==0 slots are dead by the models' mask convention (DIN masks
@@ -158,7 +180,7 @@ class MhPadBucketer:
             p = a.shape[-1]
             live_cols = (a != 0).any(axis=tuple(range(a.ndim - 1)))
             width = int(p - np.argmax(live_cols[::-1])) if live_cols.any() else 0
-            bucket = max(self._bucket[ids_f], 1 << max(width - 1, 0).bit_length())
+            bucket = max(self._bucket[ids_f], quarter_pow2(width))
             bucket = min(bucket, p)
             self._bucket[ids_f] = bucket
             if bucket < p:
@@ -191,8 +213,9 @@ class MhCooPacker:
     the standard leading-axis P("data") batch spec and per-shard padding
     stays shard-aligned under steps_per_dispatch stacking (the model
     flattens its local [1, M_pad] view). M_pad is shared across shards
-    and grows over pow2 buckets monotonically (same recompile-bounding
-    rule as the uids buckets); padded COO entries are idx=dest=0, w=0 —
+    and grows over quarter-pow2 buckets monotonically (see quarter_pow2:
+    pow2 wasted up to 100% of the M-proportional device ops on padding,
+    the quarter ladder caps it at 25%); padded COO entries are idx=dest=0, w=0 —
     they add exactly zero into pooled row 0. Device side:
     ops/pallas_sparse.make_coo_pool (VMEM segment pool, cost ∝ live
     slots) or the XLA .at[].add fallback — models/esmm.py."""
@@ -243,7 +266,7 @@ class MhCooPacker:
                 per_dest[s].append(((lv // p) * ngr + g).astype(np.int32))
                 per_w[s].append(fw[s][lv])
         m_max = max((sum(a.size for a in per_idx[s]) for s in range(nd)), default=0)
-        bucket = max(self._bucket, 1 << max(m_max - 1, 1).bit_length())
+        bucket = max(self._bucket, quarter_pow2(m_max))
         self._bucket = bucket
         idx = np.zeros((nd, bucket), np.int32)
         dest = np.zeros((nd, bucket), np.int32)
