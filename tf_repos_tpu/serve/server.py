@@ -171,12 +171,16 @@ class PredictionServer:
                         self._reply(200, {"count": 0})
                         return
                     agg = {"count": len(t)}
-                    for k in ("batchify_ms", "device_ms", "score_ms"):
+                    # "n" = micro-batch occupancy (instances per scored
+                    # batch): under concurrent load it shows how well the
+                    # batcher coalesces (scripts/bench_serving_load.py)
+                    for k in ("batchify_ms", "device_ms", "score_ms", "n"):
                         v = _np.asarray([r[k] for r in t if k in r])
                         if len(v):
                             agg[k] = {
                                 "p50": round(float(_np.median(v)), 3),
                                 "p99": round(float(_np.percentile(v, 99)), 3),
+                                "mean": round(float(_np.mean(v)), 3),
                             }
                     self._reply(200, agg)
                 elif self.path.startswith("/v1/models/"):
