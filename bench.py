@@ -167,6 +167,11 @@ def _inner() -> None:
                 "vs_baseline": round(eps / REFERENCE_EXAMPLES_PER_SEC, 2),
                 "dense_static_examples_per_sec": round(eps_dense, 1),
                 "config": "sparse_table_update+pallas_expand+static_fields+bf16_towers",
+                # lazy sparse Adam is AUC-neutral single-pass but loses
+                # -0.0119 AUC by epoch 4 (QUALITY_SWEEPS.json
+                # sparse_epochs); multi-epoch convergence runs should
+                # use the dense_static configuration above
+                "regime": "single-pass/streaming; multi-epoch uses dense_static",
             }
         )
     )

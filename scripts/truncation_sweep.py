@@ -57,6 +57,12 @@ def main(argv=None):
     p.add_argument("--match_strength", type=float, default=4.0)
     p.add_argument("--pads", default="16,64,256,1024,2048")
     p.add_argument("--len_scale", type=float, default=1.0)
+    p.add_argument("--din_heavy_len", type=float, default=30.0,
+                   help="avg u_cat (evidence field) length for the din "
+                        "sweep; 30 IS the published u_cat average — the "
+                        "containment signal does not cold-start at "
+                        "hundreds of ids/row with no first-order id mass "
+                        "(measured: flat ~2%% of ceiling at 254)")
     p.add_argument("--out", default="TRUNCATION.json")
     p.add_argument("--work_dir", default="")
     a = p.parse_args(argv)
@@ -79,9 +85,19 @@ def main(argv=None):
     )
     if a.model == "din":
         # retrieval plant: the label hinges on containment of the ad id
-        # in the u_cat history — exactly the evidence truncation drops
-        gen.update(strength=a.strength / 3, match_prob=0.5,
-                   match_strength=a.match_strength)
+        # in the u_cat history — exactly the evidence truncation drops.
+        # Make u_cat ITSELF the published heavy field (avg 250): the
+        # matched id sits at a uniform position in it, so a pad P keeps
+        # ~E[min(P,L)/L] of the evidence and the AUC curve should rise
+        # with P up to the length tail. The other fields stay light —
+        # at the first attempt (all fields at published lengths) the
+        # model never learned: the giant u_shop/u_brand noise fields
+        # entering at large pads drowned the u_cat signal and every pad
+        # sat at 3-9% of ceiling excess.
+        lens = {"u_cat": a.din_heavy_len, "u_shop": 5.0, "u_brand": 5.0,
+                "u_int": 5.0, "a_int": 5.0}
+        gen.update(mh_avg_lens=lens, strength=a.strength / 3,
+                   match_prob=0.5, match_strength=a.match_strength)
     print(f"generating {a.train_lines:,}+{a.valid_lines:,} lines at "
           f"published lengths (scale {a.len_scale}) ...", flush=True)
     write_synthetic_aliccp(os.path.join(data, "tr.samples.txt"),
