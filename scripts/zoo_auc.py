@@ -44,8 +44,14 @@ LADDER = [
     ("DCN", "DCN", 0.793,
      dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
           deep_layers="512,256", cross_layers=3, dropout="0.8,0.8", l2_reg=1e-5)),
+    # wdl rows: NO learning_rate — the reference's flag is commented out
+    # (wide_n_deep.py:37) and the canned estimators derive their own
+    # rates (train/optimizers.canned_wdl_rates: LinearClassifier FTRL
+    # 0.1601; DNNLinearCombined 0.005/0.001). Round 3 ran the wide leg
+    # at 5e-3 (32x under the canned LinearClassifier rate), which is why
+    # LR measured 0.7460 against its 0.7792 representable ceiling.
     ("LR", "wide", 0.777,
-     dict(learning_rate=5e-3, optimizer="wdl", batch_size=128,
+     dict(optimizer="wdl", batch_size=128,
           deep_layers="256,128,64", dropout="1.0,1.0,1.0")),
     ("IPNN", "ipnn", 0.771,
      dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
@@ -54,7 +60,7 @@ LADDER = [
      dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
           deep_layers="256,128", dropout="0.8,0.8", l2_reg=1e-4)),
     ("wide_n_deep", "wide_n_deep", 0.767,
-     dict(learning_rate=5e-3, optimizer="wdl", embedding_size=32, batch_size=128,
+     dict(optimizer="wdl", embedding_size=32, batch_size=128,
           deep_layers="256,128,64", dropout="1.0,1.0,1.0")),
     ("FNN", "fnn", 0.766,
      dict(learning_rate=1e-4, embedding_size=32, batch_size=256,
@@ -237,28 +243,44 @@ def write_report(results: dict, path: str) -> None:
         "",
         "Reading: (1) every model converges under its published command "
         "line through the one shared harness; the deep interaction family "
-        "clusters at 95.9-98.1% of the ceiling — the surrogate analog of "
-        "the reference's 'all models land at 0.8±0.003' band "
+        "clusters near the ceiling — the surrogate analog of the "
+        "reference's 'all models land at 0.8±0.003' band "
         "(deep_ctr/README.md:41). (2) AFM sits measurably below the other "
         "deep models here exactly as it does in the published ladder "
-        "(0.731, last place). (3) The round-3 surrogate recalibration "
-        "plants a first-order-only oracle AUC of ~0.773-0.780 (the "
-        "published band position of LR; data/criteo_surrogate.py "
-        "FIRST_AUC_TARGET), lifting LR from 86.9% (round 2) to 93.0% of "
-        "the ceiling. The residual LR gap is per-id ESTIMATION noise, "
-        "not signal or the CSV contract: rebuilding the CSV view with "
-        "per-field frequency ranks (collision-free identity buckets for "
-        "every hot id) left LR's AUC unchanged (0.7459 -> 0.7460), while "
-        "4 epochs instead of the published 1 lift it to 0.7632 and the "
-        "10M-line surrogate (5x observations per tail id, same published "
-        "1-epoch command) lifts it further — the plant's per-(field,rank) "
-        "effects on sub-20-observation tail ids are unlearnable at 2M "
-        "regardless of model. wide_n_deep (0.7699) sits inside the deep "
-        "band, above AFM.",
+        "(0.731, last place). (3) LR at 0.7801 ≈ the published 0.777 and "
+        "≈ its 0.7792 REPRESENTABLE ceiling (scripts/lr_band_analysis.py: "
+        "the 10k identity buckets lose ~0% of the planted first-order "
+        "variance at this scale, and the continuous effects are linear). "
+        "Round 3 measured 0.7460 because the wide leg ran FTRL at the CLI "
+        "default 5e-3 — but the reference's learning_rate flag is "
+        "COMMENTED OUT (wide_n_deep.py:37) and its canned LinearClassifier "
+        "derives Ftrl(min(0.2, 1/sqrt(39)) = 0.1601); with the canned "
+        "rates (train/optimizers.canned_wdl_rates) LR converges to its "
+        "ceiling in the published 1 epoch. wide_n_deep runs the combined "
+        "estimator's canned 0.005/0.005-capped linear + Adagrad(0.001) "
+        "dnn rates and lands below LR — the published ordering "
+        "(LR > wide_n_deep) reproduced.",
         "",
-        "NFM/AFM run at embedding_size 64 (published 256) — the pair-term "
-        "compute at emb 256 x batch 128 is dispatch-bound through the dev "
-        "tunnel; architecture and all other hypers unchanged.",
+        "The one ordering NOT reproduced, quantified: published LR "
+        "(0.777) sits ABOVE the deep defaults (DeepFM 0.769); here the "
+        "deep band (0.785-0.787) sits ~0.005 above LR (0.780). The deep "
+        "function class contains the linear one and the planted signal "
+        "is exactly representable, so deep ≥ LR whenever the deep "
+        "default command lines CONVERGE — and on the surrogate they "
+        "demonstrably do (97.9% of ceiling). The published inversion is "
+        "an optimization-hardness property of real Criteo at 45.84M "
+        "lines x 1 epoch x Adam 1e-4 (the deep runs undertrain; "
+        "FTRL-on-marginals converges), which a statistics-faithful "
+        "surrogate — calibrated to observable statistics and Bayes "
+        "structure, not to optimizer friction — cannot reproduce without "
+        "planting noise specifically adversarial to Adam's 1-epoch "
+        "trajectory. Fidelity of the plant was chosen over fidelity of "
+        "the failure mode.",
+        "",
+        "NFM/AFM were first run at embedding_size 64; the published "
+        "emb-256 rerun produced IDENTICAL AUCs — capacity is not the "
+        "binding constraint at this data size, and the table stands for "
+        "the published emb 256.",
     ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

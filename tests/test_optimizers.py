@@ -80,12 +80,19 @@ def test_unknown_raises():
 
 
 def test_wdl_composite_per_part_updates():
-    """--optimizer=wdl: wide params step with FTRL, deep with Adagrad —
-    the DNNLinearCombinedClassifier default split."""
+    """--optimizer=wdl: wide params step with FTRL, deep with Adagrad, at
+    the CANNED learning rates (the reference's learning_rate flag is
+    commented out, wide_n_deep.py:37, so TF1's canned-estimator formulas
+    applied — canned_wdl_rates; the lr argument must be IGNORED)."""
     import jax
     import jax.numpy as jnp
 
-    from tf_repos_tpu.train.optimizers import adagrad_tf, ftrl, make_optimizer
+    from tf_repos_tpu.train.optimizers import (
+        adagrad_tf,
+        canned_wdl_rates,
+        ftrl,
+        make_optimizer,
+    )
 
     params = {
         "wide_cat": jnp.ones((4,)),
@@ -93,16 +100,33 @@ def test_wdl_composite_per_part_updates():
         "bias": jnp.zeros((1,)),
     }
     grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
-    tx = make_optimizer("wdl", 0.1)
-    st = tx.init(params)
-    upd, _ = tx.update(grads, st, params)
+    for model_type in ("wide", "wide_n_deep"):
+        wide_lr, deep_lr = canned_wdl_rates(model_type)
+        tx = make_optimizer("wdl", 999.0, model_type)
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params)
 
-    ftrl_tx = ftrl(0.1)
-    fs = ftrl_tx.init({"w": params["wide_cat"]})
-    fupd, _ = ftrl_tx.update({"w": grads["wide_cat"]}, fs, {"w": params["wide_cat"]})
-    np.testing.assert_allclose(np.asarray(upd["wide_cat"]), np.asarray(fupd["w"]), rtol=1e-6)
+        ftrl_tx = ftrl(wide_lr)
+        fs = ftrl_tx.init({"w": params["wide_cat"]})
+        fupd, _ = ftrl_tx.update({"w": grads["wide_cat"]}, fs, {"w": params["wide_cat"]})
+        np.testing.assert_allclose(
+            np.asarray(upd["wide_cat"]), np.asarray(fupd["w"]), rtol=1e-6
+        )
 
-    ag = adagrad_tf(0.1, 0.1)
-    as_ = ag.init({"e": params["emb"]})
-    aupd, _ = ag.update({"e": grads["emb"]}, as_, {"e": params["emb"]})
-    np.testing.assert_allclose(np.asarray(upd["emb"]), np.asarray(aupd["e"]), rtol=1e-6)
+        ag = adagrad_tf(deep_lr, 0.1)
+        as_ = ag.init({"e": params["emb"]})
+        aupd, _ = ag.update({"e": grads["emb"]}, as_, {"e": params["emb"]})
+        np.testing.assert_allclose(
+            np.asarray(upd["emb"]), np.asarray(aupd["e"]), rtol=1e-6
+        )
+
+
+def test_canned_wdl_rates_formulas():
+    import math
+
+    from tf_repos_tpu.train.optimizers import canned_wdl_rates
+
+    root39 = 1.0 / math.sqrt(39)
+    assert canned_wdl_rates("wide") == (min(0.2, root39), 0.05)
+    assert canned_wdl_rates("deep") == (min(0.2, root39), 0.05)
+    assert canned_wdl_rates("wide_n_deep") == (0.005, 0.001)

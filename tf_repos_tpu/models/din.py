@@ -182,15 +182,9 @@ class DIN(CtrModel):
 
         if coo:
             ng = len(groups)
-            pool = getattr(lookup, "coo_pool", xla_coo_pool)
             idxf = batch[MHC_IDX].reshape(-1)
             destf = batch[MHC_DEST].reshape(-1)
             wf = batch[MHC_W].reshape(-1)
-            # plain segment sums for every group: a_int's sum combiner
-            # (DIN.py:148) and, under attention, the ad-side pairing input
-            sums = pool(emb_t, idxf, destf, wf, b * ng)
-            sums = sums.reshape(b, ng, -1).astype(common.dtype)
-            a_int = sums[:, ng - 1]
             if cfg.attention_pooling:
                 # attention over LIVE slots: per live slot j with group
                 # g = dest[j] % ng, score MLP([d, d - a_g, a_g]) where
@@ -198,10 +192,32 @@ class DIN(CtrModel):
                 # dead padded positions skipped (they contribute 0 to the
                 # masked weighted sum either way). a_int slots pass
                 # through with weight 1 (the reference's plain sum).
+                #
+                # ONE gather feeds everything: d_rows is reused for the
+                # plain sums (ad pairing + a_int), the MLP input, AND the
+                # attention-weighted pool — measured round 4 at the
+                # published point, the naive form (three emb_t[idx]
+                # gathers: sums pool, d_rows, weighted pool) pays three
+                # [S,K]-scatter backward passes where this pays ONE
+                # accumulate through `lookup` (the lane-packed Pallas
+                # kernel above the VMEM row cap). The segment sums
+                # differentiate through plain XLA scatter-add, whose
+                # cotangent is a cheap [G,K] gather.
                 d_rows = (
                     lookup(emb_t, idxf).astype(common.dtype)
                     * wf[:, None].astype(common.dtype)
                 )
+                # f32 accumulators: ~300 live slots/row sum in bf16 would
+                # random-walk ~2^-8*sqrt(300) relative error; f32 target
+                # costs 2x scatter bytes, measured ~neutral on chip
+                sums = (
+                    jnp.zeros((b * ng, d_rows.shape[-1]), jnp.float32)
+                    .at[destf]
+                    .add(d_rows.astype(jnp.float32))
+                    .reshape(b, ng, -1)
+                    .astype(common.dtype)
+                )
+                a_int = sums[:, ng - 1]
                 # group g pairs with ad embedding: u_cat<->a_cat,
                 # u_shop<->a_shop, u_brand<->a_brand, u_int<->a_int;
                 # the trailing a_int group's pairing is unused (w stays 1)
@@ -220,20 +236,24 @@ class DIN(CtrModel):
                     compute_dtype=cfg.tower_dtype,
                 )
                 wgt = jax.nn.sigmoid(T.dense(params["att_out"], h))[:, 0]
-                w_eff = jnp.where(
-                    destf % ng == ng - 1, wf, wf * wgt.astype(wf.dtype)
+                mult = jnp.where(
+                    destf % ng == ng - 1, 1.0, wgt.astype(d_rows.dtype)
                 )
-                # xla_coo_pool, NOT the (possibly Pallas) lookup.coo_pool:
-                # the attention weights differentiate THROUGH w here, and
-                # make_coo_pool's custom_vjp declares w non-differentiable
-                # (zero cotangent) — XLA AD provides the exact transpose
                 att_pooled = (
-                    xla_coo_pool(emb_t, idxf, destf, w_eff, b * ng)
+                    jnp.zeros((b * ng, d_rows.shape[-1]), jnp.float32)
+                    .at[destf]
+                    .add((d_rows * mult[:, None]).astype(jnp.float32))
                     .reshape(b, ng, -1)
                     .astype(common.dtype)
                 )
                 pooled = [att_pooled[:, i] for i in range(len(USER_FIELDS))]
             else:
+                # no attention: every group is a plain weighted sum-pool —
+                # the segment pool rides the (possibly Pallas) COO kernel
+                pool = getattr(lookup, "coo_pool", xla_coo_pool)
+                sums = pool(emb_t, idxf, destf, wf, b * ng)
+                sums = sums.reshape(b, ng, -1).astype(common.dtype)
+                a_int = sums[:, ng - 1]
                 pooled = [sums[:, i] for i in range(len(USER_FIELDS))]
         else:
             int_mask = (batch["a_intids"] > 0).astype(common.dtype)

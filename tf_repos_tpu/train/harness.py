@@ -133,7 +133,14 @@ class Harness:
                     "--slim_transfer supports libsvm and aliccp input "
                     f"formats (model {self.model.name} reads {fmt})"
                 )
-        self.tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+        # the canned wdl composite derives its own learning rates from
+        # the model_type (wide/deep/wide_n_deep) — see canned_wdl_rates
+        wdl_type = (
+            cfg.model.lower()
+            if cfg.model.lower() in ("wide", "deep")
+            else (cfg.model_type or "wide_n_deep").lower()
+        )
+        self.tx = make_optimizer(cfg.optimizer, cfg.learning_rate, wdl_type)
         self.model_dir = cfg.resolved_model_dir() or "./model_ckpt"
         self.mesh = self._make_mesh()
         self._sharded = None
@@ -167,12 +174,10 @@ class Harness:
             groups = self.model.mh_coo_groups()
             if not groups:
                 raise ValueError(
-                    f"--mh_coo: {self.model.name} declares no sum-pooled "
-                    "multi-hot groups (libsvm/csv models have no ragged "
-                    "fields). ESMM packs all 5 groups; DIN packs a_int "
-                    "always, plus the 4 user fields when "
-                    "--attention_pooling=false (attention needs the padded "
-                    "per-slot sequence — ride --mh_bucket for those)."
+                    f"--mh_coo: {self.model.name} declares no multi-hot "
+                    "groups (libsvm/csv models have no ragged fields). "
+                    "ESMM and DIN pack all 5 groups — DIN's attention MLP "
+                    "runs over the live COO slots (models/din.py)."
                 )
             # multi-host is handled: each host packs its LOCAL batch over
             # its local data shards, and GlobalUidsUnion re-pads every

@@ -19,7 +19,9 @@ import jax.numpy as jnp
 import optax
 
 
-def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
+def make_optimizer(
+    name: str, learning_rate: float, model_type: str = "wide_n_deep"
+) -> optax.GradientTransformation:
     key = name.lower()
     if key == "adam":
         return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
@@ -32,17 +34,58 @@ def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformat
     if key in ("gd", "sgd"):
         return optax.sgd(learning_rate)
     if key == "wdl":
-        return wdl_composite(learning_rate)
+        return wdl_composite(model_type)
     raise ValueError(f"unknown optimizer {name!r}")
 
 
-def wdl_composite(learning_rate: float) -> optax.GradientTransformation:
-    """DNNLinearCombinedClassifier's default per-part optimizers: the
-    linear (wide) columns train with FTRL, everything else (DNN part)
-    with Adagrad — the canned-estimator behavior wide_n_deep relies on
-    (reference wide_n_deep.py:115-151 leaves both optimizers at their
-    canned defaults). Parts are identified by the ``wide_*`` top-level
-    param names of models/wide_deep.py."""
+# TF1 canned-estimator learning-rate constants (tensorflow_estimator
+# canned/linear.py, canned/dnn.py, canned/dnn_linear_combined.py — the
+# combined pair is commented there as "a historical artifact of the
+# initial implementation"):
+_CANNED_LINEAR_LR = 0.2            # LinearClassifier: min(0.2, 1/sqrt(n_cols))
+_CANNED_DNN_LR = 0.05              # DNNClassifier: Adagrad(0.05)
+_CANNED_COMBINED_LINEAR_LR = 0.005  # DNNLinearCombined linear leg
+_CANNED_COMBINED_DNN_LR = 0.001     # DNNLinearCombined dnn leg
+_WDL_N_COLUMNS = 39                 # 13 numeric + 26 categorical columns
+
+
+def canned_wdl_rates(model_type: str) -> tuple:
+    """(wide_lr, deep_lr) the reference's published runs ACTUALLY used.
+
+    wide_n_deep.py's learning_rate flag is COMMENTED OUT (:37) and the
+    canned estimators are constructed without optimizer arguments
+    (:132-149), so TF1's canned defaults applied — NOT any CLI value:
+
+      model_type=wide        : LinearClassifier -> Ftrl with
+                               min(0.2, 1/sqrt(39)) = 0.1601
+      model_type=deep        : DNNClassifier -> Adagrad(0.05)
+      model_type=wide_n_deep : DNNLinearCombinedClassifier ->
+                               Ftrl(min(0.005, 1/sqrt(39))) = 0.005 wide,
+                               Adagrad(0.001) deep
+
+    Round 3's zoo ran the wide leg at the CLI default 5e-3 — 32x below
+    the canned LinearClassifier rate — which is why LR measured 0.7460
+    against its 0.7792 representable ceiling (ZOO_AUC.md): the
+    undertraining was OURS, not the reference's."""
+    import math
+
+    root = 1.0 / math.sqrt(_WDL_N_COLUMNS)
+    if model_type == "wide":
+        return (min(_CANNED_LINEAR_LR, root), _CANNED_DNN_LR)
+    if model_type == "deep":
+        return (min(_CANNED_LINEAR_LR, root), _CANNED_DNN_LR)
+    return (min(_CANNED_COMBINED_LINEAR_LR, root), _CANNED_COMBINED_DNN_LR)
+
+
+def wdl_composite(model_type: str = "wide_n_deep") -> optax.GradientTransformation:
+    """The canned-estimator composite for the wide_n_deep family: linear
+    (wide) columns train with FTRL, everything else (DNN part) with
+    Adagrad, at the canned learning rates of canned_wdl_rates() — the
+    published behavior (the reference cannot pass a learning rate to
+    these estimators at all). Parts are identified by the ``wide_*``
+    top-level param names of models/wide_deep.py. Use optimizer=ftrl /
+    adagrad with an explicit --learning_rate to deviate."""
+    wide_lr, deep_lr = canned_wdl_rates(model_type)
 
     def labels(params):
         return {
@@ -53,7 +96,7 @@ def wdl_composite(learning_rate: float) -> optax.GradientTransformation:
         }
 
     return optax.multi_transform(
-        {"wide": ftrl(learning_rate), "deep": adagrad_tf(learning_rate, 0.1)},
+        {"wide": ftrl(wide_lr), "deep": adagrad_tf(deep_lr, 0.1)},
         labels,
     )
 
