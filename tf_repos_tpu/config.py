@@ -64,6 +64,14 @@ class Config:
     # (DeepFM.py, PNN.py, ...); here one CLI selects from the registry.
     model: str = "DeepFM"
 
+    # ---- preset: expand to the measured-best flag set for an operating
+    # regime (see PRESETS below + FLAGS.md "Flag matrix"). Explicitly
+    # passed CLI flags override the preset's values. The reference's
+    # pitch is one command line per model (deep_ctr/run.sh:11-24);
+    # reaching this repo's measured numbers otherwise takes 5-7
+    # interacting flags, several of which REVERSE between regimes.
+    preset: str = ""
+
     # ---- observability (reference: TensorBoard summaries via RunConfig,
     # DeepFM.py:339-340; here JSONL metrics + jax.profiler traces)
     write_metrics: bool = True
@@ -231,17 +239,99 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    @classmethod
+    def with_preset(cls, preset: str, **overrides) -> "Config":
+        """Programmatic preset expansion: Config.with_preset("esmm_large_vocab",
+        feature_size=..., data_dir=...). Overrides win over the preset."""
+        base = dict(expand_preset(preset))
+        base.update(overrides)
+        return cls(preset=preset, **base)
 
-def add_config_args(parser: argparse.ArgumentParser) -> None:
-    """Register every Config field as a --flag (reference flag names)."""
+
+# Measured-best flag sets per operating regime. Sources: PERF.md,
+# CLAUDE.md round-2/3 measured results, QUALITY_SWEEPS.json. The
+# per-regime REVERSALS these encode (why one set cannot serve all):
+#   - bf16 tables + fused moments WIN at 4.5M vocab (1.9x, AUC-neutral)
+#     but HURT at 117k vocab (more dtype traffic than they save);
+#   - lazy sparse Adam (sparse_table_update) is the single-pass
+#     throughput champion at Criteo scale but loses −0.012 AUC by epoch
+#     4 (stale moments) — the multi-epoch criteo preset stays dense;
+#   - mh_coo/mh_bucket only exist for the Ali-CCP ragged layout.
+PRESETS = {
+    # Criteo-shape multi-epoch training (the published-hypers regime,
+    # AUC-safe): dense tables + static-field slicing + bf16 towers +
+    # packed cache + slim wire. 1.53M ex/s device-side at B=16384.
+    "criteo_headline": dict(
+        batch_size=16384, learning_rate=2e-3, static_fields=13,
+        compute_dtype="bfloat16", packed_cache=True, slim_transfer=True,
+        steps_per_dispatch=8,
+    ),
+    # The 2.27M ex/s bench configuration. SINGLE-PASS ONLY: lazy sparse
+    # Adam loses −0.0119 AUC at 4 epochs / −0.0162 at 6
+    # (QUALITY_SWEEPS.json sparse_epochs) — use for one-epoch /
+    # streaming ingestion, not multi-epoch convergence runs.
+    "criteo_singlepass": dict(
+        batch_size=16384, learning_rate=2e-3, static_fields=13,
+        compute_dtype="bfloat16", packed_cache=True, slim_transfer=True,
+        steps_per_dispatch=8, sparse_table_update=True, pallas_expand=True,
+    ),
+    # Ali-CCP ESMM/DeepCvrMTL at multi-million vocab (the reference's
+    # "very slow, 20 GB RAM" case): lazy sparse + VMEM kernels + COO
+    # multi-hot + live-width buckets + bf16 tables/moments + slim wire.
+    # multi_hot_pad=0 auto-sizes to the per-field p99 — generous pads
+    # are ~free under mh_coo/mh_bucket and truncation costs AUC
+    # (TRUNCATION.md).
+    "esmm_large_vocab": dict(
+        batch_size=4096, sparse_table_update=True, pallas_expand=True,
+        mh_coo=True, mh_bucket="pow2", fused_moments=True,
+        param_dtype="bfloat16", compute_dtype="bfloat16",
+        packed_cache=True, slim_transfer=True, steps_per_dispatch=64,
+        map_workers=2, multi_hot_pad=0,
+    ),
+    # DIN at large vocab: same levers; attention rides the COO live
+    # slots (models/din.py MH_COO_GROUPS).
+    "din_large_vocab": dict(
+        batch_size=4096, sparse_table_update=True, pallas_expand=True,
+        mh_coo=True, mh_bucket="pow2", fused_moments=True,
+        param_dtype="bfloat16", compute_dtype="bfloat16",
+        packed_cache=True, steps_per_dispatch=8, map_workers=2,
+        multi_hot_pad=0,
+    ),
+    # Multi-host SPMD: every host must dispatch identical collective
+    # sequences; sparse_table_update carries the cross-host uid/width
+    # consensus, scan-K amortizes the per-dispatch fixed cost.
+    "multihost": dict(
+        sparse_table_update=True, steps_per_dispatch=8, map_workers=2,
+        packed_cache=True,
+    ),
+}
+
+
+def expand_preset(name: str) -> dict:
+    if name not in PRESETS:
+        raise ValueError(
+            f"unknown --preset {name!r}; available: {', '.join(sorted(PRESETS))}"
+        )
+    return PRESETS[name]
+
+
+def add_config_args(
+    parser: argparse.ArgumentParser, suppress_defaults: bool = False
+) -> None:
+    """Register every Config field as a --flag (reference flag names).
+
+    suppress_defaults: unpassed flags are ABSENT from the namespace
+    (argparse.SUPPRESS) — parse_config uses this so --preset expansion
+    can tell explicit flags (which override the preset) from defaults."""
     for f in dataclasses.fields(Config):
+        default = argparse.SUPPRESS if suppress_defaults else f.default
         if f.type == "bool" or f.type is bool:
             parser.add_argument(
-                f"--{f.name}", type=_str2bool, default=f.default, help=f"(default: {f.default})"
+                f"--{f.name}", type=_str2bool, default=default, help=f"(default: {f.default})"
             )
         else:
             parser.add_argument(
-                f"--{f.name}", type=type(f.default), default=f.default, help=f"(default: {f.default})"
+                f"--{f.name}", type=type(f.default), default=default, help=f"(default: {f.default})"
             )
 
 
@@ -253,9 +343,15 @@ def _str2bool(v: str) -> bool:
 
 def parse_config(argv: Optional[List[str]] = None) -> Config:
     parser = argparse.ArgumentParser(description="tf_repos_tpu")
-    add_config_args(parser)
+    add_config_args(parser, suppress_defaults=True)
     args, _ = parser.parse_known_args(argv)
-    return Config(**{f.name: getattr(args, f.name) for f in dataclasses.fields(Config)})
+    explicit = vars(args)  # only flags the user actually passed
+    values = {}
+    preset = explicit.get("preset", "")
+    if preset:
+        values.update(expand_preset(preset))
+    values.update(explicit)
+    return Config(**values)
 
 
 def echo_config(cfg: Config, log=print) -> None:
