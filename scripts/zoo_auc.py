@@ -141,6 +141,10 @@ def main(argv=None):
     ap.add_argument("--work_dir", default="/tmp/criteo_parity")
     ap.add_argument("--models", default="", help="comma filter of ladder names")
     ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--out", default="ZOO_AUC.json",
+                    help="results json filename (repo-rooted); the .md "
+                         "report is only written for the default ladder "
+                         "file")
     a = ap.parse_args(argv)
 
     from tf_repos_tpu.config import Config
@@ -168,7 +172,7 @@ def main(argv=None):
     ceiling = CS.bayes_ceiling()
     print(f"[setup] {time.time() - t0:.0f}s feature_size={feature_size} ceiling={ceiling:.4f}")
 
-    json_path = os.path.join(REPO, "ZOO_AUC.json")
+    json_path = os.path.join(REPO, a.out)
     results = {"train_lines": a.train_lines, "feature_size": feature_size,
                "bayes_ceiling": round(ceiling, 4), "runs": {}}
     if os.path.exists(json_path):
@@ -211,7 +215,8 @@ def main(argv=None):
         json.dump(results, open(json_path, "w"), indent=1)
         print(f"[zoo] {name}: auc={rec['auc']:.4f} ({rec['pct_of_ceiling']:.1f}% of ceiling)")
 
-    write_report(results, os.path.join(REPO, "ZOO_AUC.md"))
+    if a.out == "ZOO_AUC.json":
+        write_report(results, os.path.join(REPO, "ZOO_AUC.md"))
     print("ZOO " + json.dumps({k: v.get("auc") for k, v in results["runs"].items()}))
 
 
