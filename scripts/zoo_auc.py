@@ -280,7 +280,12 @@ def write_report(results: dict, path: str) -> None:
         "structure, not to optimizer friction — cannot reproduce without "
         "planting noise specifically adversarial to Adam's 1-epoch "
         "trajectory. Fidelity of the plant was chosen over fidelity of "
-        "the failure mode.",
+        "the failure mode. MEASURED at the full published scale "
+        "(ZOO_AUC_45M.json: 45.84M lines, feature_size 117,724 = +0.12% "
+        "of the published 117,581, ceiling 0.8036): LR 0.7909 (98.4% of "
+        "ceiling), DeepFM default 0.7968 (99.2%) — the deep default "
+        "does NOT undertrain on the surrogate even at the published "
+        "step budget, closing the step-budget loophole in the argument.",
         "",
         "NFM/AFM were first run at embedding_size 64; the published "
         "emb-256 rerun produced IDENTICAL AUCs — capacity is not the "
