@@ -53,7 +53,7 @@ def make_batches(model_name, vocab, batch_size, pad, zipf, n=3, scale=1.0):
 
 
 def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
-          n_steps=12, scale=1.0, attention=True):
+          n_steps=12, scale=1.0, attention=True, fused_bf16=False):
     import jax
     import jax.numpy as jnp
 
@@ -112,8 +112,15 @@ def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
     )
 
     tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
-    sopt = SP.make_sparse_row_optimizer(cfg.optimizer, cfg.learning_rate)
+    # fused_bf16: the large-vocab storage levers (--fused_moments +
+    # --param_dtype=bfloat16 with stochastic rounding) — halves the
+    # moment row-ops and all table/moment bytes
+    sopt = SP.make_sparse_row_optimizer(
+        cfg.optimizer, cfg.learning_rate, fused_moments=fused_bf16
+    )
     params, mstate = model.init(jax.random.PRNGKey(0))
+    if fused_bf16:
+        params = SP.cast_tables(model, params, jnp.bfloat16)
     opt_state = SP.init_opt_state(model, tx, sopt, params)
     step = SP.build_sparse_train_step(
         model, tx, sopt, lookup=make_vmem_expand_lookup()
@@ -156,14 +163,18 @@ def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
 
 
 CELLS = {
-    # name: (model, pad, zipf, coo, bucket, attention)
+    # name: (model, pad, zipf, coo, bucket, attention[, fused_bf16])
     "esmm_padded": ("ESMM", 512, 1.2, False, False, True),
     "esmm_coo": ("ESMM", 512, 1.2, True, False, True),
     "esmm_coo_bucket": ("ESMM", 512, 1.2, True, True, True),
+    # + the large-vocab storage levers (fused m|v moments, bf16+SR
+    # tables): halves moment row-ops and table/moment bytes
+    "esmm_coo_fused_bf16": ("ESMM", 512, 1.2, True, False, True, True),
     # zipf 1.5: 16k unique -> the Pallas VMEM path ENGAGES (cap boundary)
     "esmm_coo_z15": ("ESMM", 512, 1.5, True, False, True),
     "din_att_bucket": ("DIN", 512, 1.2, False, True, True),
     "din_att_coo_bucket": ("DIN", 512, 1.2, True, True, True),
+    "din_att_coo_fused_bf16": ("DIN", 512, 1.2, True, True, True, True),
 }
 
 
@@ -181,12 +192,14 @@ def main():
     out = {}
     if memo_path and os.path.exists(memo_path):
         out = json.load(open(memo_path))
-    for tag, (model_name, pad, zipf, coo, bucket, att) in CELLS.items():
+    for tag, cell in CELLS.items():
+        (model_name, pad, zipf, coo, bucket, att), fb = cell[:6], cell[6:]
         if tag in out:
             print(f"[skip] {tag}", flush=True)
             continue
         out[tag] = bench(model_name, vocab, b, pad, zipf, coo, bucket,
-                         n_steps=n, scale=scale, attention=att)
+                         n_steps=n, scale=scale, attention=att,
+                         fused_bf16=bool(fb and fb[0]))
         if memo_path:
             json.dump(out, open(memo_path, "w"))
         print(json.dumps({tag: out[tag]}), flush=True)
