@@ -290,8 +290,8 @@ def accumulate_rows_packed(
     g: jax.Array,  # [N, K] float cotangent rows, K must divide 128
     idx: jax.Array,  # [N] int32, values in [0, s)
     s: int,
-    chunk: int = 8192,
-    unroll: int = 16,
+    chunk: int = 16384,
+    unroll: int = 128,
     interpret: bool | None = None,
 ) -> jax.Array:  # [s, K] float32
     """accumulate_rows with a lane-packed VMEM accumulator (see the
@@ -590,8 +590,8 @@ def coo_accumulate_rows_packed(
     dest: jax.Array,  # [M] int32
     w: jax.Array,  # [M] float32
     s: int,
-    chunk: int = 8192,
-    unroll: int = 16,
+    chunk: int = 16384,
+    unroll: int = 128,
     interpret: bool | None = None,
 ) -> jax.Array:  # [s, K] float32
     """coo_accumulate_rows with the lane-packed accumulator — the
