@@ -53,7 +53,8 @@ def make_batches(model_name, vocab, batch_size, pad, zipf, n=3, scale=1.0):
 
 
 def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
-          n_steps=12, scale=1.0, attention=True, fused_bf16=False):
+          n_steps=12, scale=1.0, attention=True, fused_bf16=False,
+          fused_table=False):
     import jax
     import jax.numpy as jnp
 
@@ -116,10 +117,12 @@ def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
     # --param_dtype=bfloat16 with stochastic rounding) — halves the
     # moment row-ops and all table/moment bytes
     sopt = SP.make_sparse_row_optimizer(
-        cfg.optimizer, cfg.learning_rate, fused_moments=fused_bf16
+        cfg.optimizer, cfg.learning_rate,
+        fused_moments=fused_bf16 and not fused_table,
+        fused_table=fused_table,
     )
     params, mstate = model.init(jax.random.PRNGKey(0))
-    if fused_bf16:
+    if fused_bf16 or fused_table:
         params = SP.cast_tables(model, params, jnp.bfloat16)
     opt_state = SP.init_opt_state(model, tx, sopt, params)
     step = SP.build_sparse_train_step(
@@ -170,6 +173,10 @@ CELLS = {
     # + the large-vocab storage levers (fused m|v moments, bf16+SR
     # tables): halves moment row-ops and table/moment bytes
     "esmm_coo_fused_bf16": ("ESMM", 512, 1.2, True, False, True, True),
+    # + --fused_table ([V,3K] w|m|v): ONE row gather + ONE row scatter
+    # per step — the vocab scatter is the biggest single op (15-19 ms)
+    "esmm_coo_fused_table": ("ESMM", 512, 1.2, True, False, True, False, True),
+    "din_att_coo_fused_table": ("DIN", 512, 1.2, True, True, True, False, True),
     # zipf 1.5: 16k unique -> the Pallas VMEM path ENGAGES (cap boundary)
     "esmm_coo_z15": ("ESMM", 512, 1.5, True, False, True),
     "din_att_bucket": ("DIN", 512, 1.2, False, True, True),
@@ -193,13 +200,14 @@ def main():
     if memo_path and os.path.exists(memo_path):
         out = json.load(open(memo_path))
     for tag, cell in CELLS.items():
-        (model_name, pad, zipf, coo, bucket, att), fb = cell[:6], cell[6:]
+        (model_name, pad, zipf, coo, bucket, att), extra = cell[:6], cell[6:]
         if tag in out:
             print(f"[skip] {tag}", flush=True)
             continue
         out[tag] = bench(model_name, vocab, b, pad, zipf, coo, bucket,
                          n_steps=n, scale=scale, attention=att,
-                         fused_bf16=bool(fb and fb[0]))
+                         fused_bf16=bool(extra[0:1] and extra[0]),
+                         fused_table=bool(extra[1:2] and extra[1]))
         if memo_path:
             json.dump(out, open(memo_path, "w"))
         print(json.dumps({tag: out[tag]}), flush=True)

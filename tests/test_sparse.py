@@ -51,13 +51,14 @@ def _batches(cfg, n, seed0=0):
     return out
 
 
-def _run_sparse(cfg, batches, steps_rng=100, fused=False):
+def _run_sparse(cfg, batches, steps_rng=100, fused=False, fused_table=False):
     model = create_model(cfg)
     from tf_repos_tpu.train.optimizers import make_optimizer
 
     tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
     sopt = SP.make_sparse_row_optimizer(
-        cfg.optimizer, cfg.learning_rate, fused_moments=fused
+        cfg.optimizer, cfg.learning_rate, fused_moments=fused,
+        fused_table=fused_table,
     )
     params, mstate = model.init(jax.random.PRNGKey(cfg.seed))
     opt_state = SP.init_opt_state(model, tx, sopt, params)
@@ -124,6 +125,35 @@ def test_fused_moments_matches_unfused(opt):
         key = "mv" if opt == "Adam" else "nz"
         assert aux[key].shape[-1] == 2 * p_fused[t].shape[-1]
         assert "m" not in aux and "n" not in aux
+
+
+def test_fused_table_matches_unfused_adam():
+    """--fused_table ([V,3K] w|m|v storage, FusedTableRowOpt: one gather
+    + one scatter per step) is a pure layout change over the plain sparse
+    Adam path — identical trajectory and final table to float tolerance,
+    and the params entry must track the storage's w slice exactly."""
+    cfg = _cfg(optimizer="Adam", learning_rate=0.01)
+    batches = _batches(cfg, 4)
+    _, p_ft, s_ft, l_ft = _run_sparse(cfg, batches, fused_table=True)
+    _, p_unf, _, l_unf = _run_sparse(cfg, batches)
+    np.testing.assert_allclose(l_ft, l_unf, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_ft), jax.tree.leaves(p_unf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7)
+    for t, aux in s_ft["sparse"].items():
+        K = p_ft[t].shape[-1]
+        assert aux["wmv"].shape[-1] == 3 * K
+        np.testing.assert_array_equal(
+            np.asarray(aux["wmv"][..., :K]), np.asarray(p_ft[t])
+        )
+
+
+def test_fused_table_rejects_non_adam_and_double_fuse():
+    with pytest.raises(ValueError, match="Adam"):
+        SP.make_sparse_row_optimizer("ftrl", 0.01, fused_table=True)
+    with pytest.raises(ValueError, match="supersedes"):
+        SP.make_sparse_row_optimizer(
+            "Adam", 0.01, fused_moments=True, fused_table=True
+        )
 
 
 @pytest.mark.parametrize("opt", ["Adam", "Adagrad", "ftrl", "GD", "Momentum"])

@@ -144,6 +144,13 @@ class Config:
     # byte-bound) on TPU, so halving the op count wins. Changes the
     # opt-state layout — checkpoints don't interchange with unfused runs.
     fused_moments: bool = False
+    # go one further: fuse the TABLE into the same array ([V,3K] = w|m|v,
+    # train/sparse.FusedTableRowOpt) so each step does ONE row gather +
+    # ONE row scatter per table instead of 2+2 — the vocab-row SCATTER is
+    # the single most expensive op of the large-vocab step (measured
+    # 15.4-18.7 ms each at V=4.5M, S=131k on v5e). Adam only; single-chip
+    # sparse path; requires sparse_table_update; supersedes fused_moments.
+    fused_table: bool = False
     # uids padding policy for the sparse mapper (data/sparse_batch.py):
     # "pow2" sizes the device working set to the ACTUAL unique-row count
     # (power-of-2 buckets, monotonic growth — a handful of recompiles);

@@ -161,6 +161,20 @@ class Harness:
                     f"WARNING: --sparse_table_update: {self.model.name} "
                     "declares no sparse tables; using the dense path"
                 )
+        if cfg.fused_table:
+            if self._sparse_slots is None:
+                raise ValueError(
+                    "--fused_table requires --sparse_table_update (the "
+                    "fused [V,3K] w|m|v storage lives in the lazy sparse "
+                    "row-update path)"
+                )
+            if self.mesh is not None:
+                raise ValueError(
+                    "--fused_table is single-chip only: the sharded sparse "
+                    "step keeps its own table/moment layout "
+                    "(parallel/sparse_step.py); drop --mesh_model/--mesh_data "
+                    "or --fused_table"
+                )
         # --mh_coo: host-side COO pack of the sum-pooled multi-hot groups
         # (data/sparse_batch.MhCooPacker) — device pooling cost scales
         # with LIVE slots, not multi_hot_pad
@@ -292,6 +306,7 @@ class Harness:
             self.cfg.optimizer, self.cfg.learning_rate,
             fused_moments=self.cfg.fused_moments,
             sorted_indices=self.mesh is None,
+            fused_table=self.cfg.fused_table,
         )
 
     def restore_or_init(self, ckpt: CheckpointManager):

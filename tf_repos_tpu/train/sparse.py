@@ -103,11 +103,34 @@ class SparseRowOpt(NamedTuple):
     ]
 
 
+class FusedTableRowOpt(SparseRowOpt):
+    """SparseRowOpt whose storage FUSES the table into the moment array:
+    aux["wmv"] = [V, 3K] rows (w | m | v). The step then does ONE row
+    gather and ONE row scatter per table instead of 2 gathers + 2
+    scatters — and the vocab-row SCATTER is the single most expensive
+    op of the large-vocab step (measured on v5e at V=4.5M, S=131k:
+    .at[u].set 15.4 ms for [V,K] / 18.7 ms for [V,2K], vs 4.5/5.8 ms
+    for the gathers; the optimizer leg was 33 ms of the 72 ms published
+    ESMM step). Row ops are transaction-bound, so one 3K-wide
+    scatter costs about one K-wide scatter.
+
+    Protocol change (train/sparse._sparse_step_body understands it via
+    isinstance): the forward gathers [S, 3K] from aux["wmv"] once; the
+    model consumes su[:, :K]; apply() receives the SAME gathered su (no
+    re-gather) and writes concat(w1, m1, v1) back with one put. The
+    params entry for the table is refreshed as wmv[:, :K] each step
+    (~0.7 ms at 4.5M x 16 bf16 — a strided row copy), so eval /
+    checkpoint / export paths are unchanged. The checkpoint carries the
+    table twice (params + wmv); layouts don't interchange with
+    fused_moments or the plain layout."""
+
+
 def make_sparse_row_optimizer(
     name: str,
     learning_rate: float,
     fused_moments: bool = False,
     sorted_indices: bool = True,
+    fused_table: bool = False,
 ) -> SparseRowOpt:
     """Same hyperparameters as train/optimizers.make_optimizer (the
     reference's exact settings, DeepFM.py:204-211), applied lazily.
@@ -118,11 +141,55 @@ def make_sparse_row_optimizer(
     at big vocab is HBM-transaction-bound (K=128 gather measured only 22%
     slower than K=16 on v5e), so halving the op count beats halving the
     width. State layout changes ([V,2K] "mv"/"nz" key) — checkpoints are
-    not interchangeable with the unfused layout."""
+    not interchangeable with the unfused layout.
+
+    fused_table: go one further — fuse the TABLE into the same array
+    ([V, 3K] = w|m|v, see FusedTableRowOpt): 1 gather + 1 scatter per
+    step. Adam only (the published large-vocab optimizer); single-chip
+    sparse path (the sharded step keeps its own layout)."""
     gather = take_rows_f32 if sorted_indices else take_rows_unsorted_f32
     put = put_rows if sorted_indices else put_rows_unsorted
     key = name.lower()
     lr = learning_rate
+    if fused_table:
+        if key != "adam":
+            raise ValueError(
+                f"--fused_table supports Adam (got {name!r}); use "
+                "--fused_moments for the other optimizers"
+            )
+        if fused_moments:
+            raise ValueError(
+                "--fused_table supersedes --fused_moments (the moments "
+                "already live in the fused [V,3K] storage); set only one"
+            )
+        b1, b2, eps = 0.9, 0.999, 1e-8
+
+        def ft_init(table):
+            K = table.shape[-1]
+            wmv = jnp.concatenate(
+                [table, jnp.zeros(table.shape[:-1] + (2 * K,), table.dtype)],
+                axis=-1,
+            )
+            return {"wmv": wmv, "t": jnp.zeros((), jnp.int32)}
+
+        def ft_apply(aux, su, u, g, key):
+            """su: the [S, 3K] f32 rows ALREADY gathered from aux["wmv"]
+            by the step body (the one gather serves forward + moments)."""
+            kw = key
+            t = aux["t"] + 1
+            tf32 = t.astype(jnp.float32)
+            K = g.shape[-1]
+            w0, m0, v0 = su[..., :K], su[..., K : 2 * K], su[..., 2 * K :]
+            m1 = b1 * m0 + (1.0 - b1) * g
+            v1 = b2 * v0 + (1.0 - b2) * jnp.square(g)
+            m_hat = m1 / (1.0 - jnp.power(b1, tf32))
+            v_hat = v1 / (1.0 - jnp.power(b2, tf32))
+            w1 = w0 - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+            new = jnp.concatenate([w1, m1, v1], axis=-1)
+            wmv = put(aux["wmv"], u, maybe_round(new, kw, aux["wmv"].dtype))
+            return wmv[..., :K], {"wmv": wmv, "t": t}
+
+        return FusedTableRowOpt(ft_init, ft_apply)
     if key == "adam":
         b1, b2, eps = 0.9, 0.999, 1e-8
 
@@ -306,9 +373,19 @@ def _sparse_step_body(model, tx_dense, sopt, slot_names, params, opt_state, msta
     rng, sr_key = jax.random.split(rng)
     tables, rest = split_params(params, slot_names)
     u = {t: batch[UIDS_PREFIX + t] for t in slot_names}
+    fused_tbl = isinstance(sopt, FusedTableRowOpt)
     # f32 row math regardless of table storage dtype (bf16 tables
-    # halve the gather bytes; the upcast fuses into the gather)
-    rows = {t: take_rows_f32(tables[t], u[t]) for t in slot_names}
+    # halve the gather bytes; the upcast fuses into the gather).
+    # fused_table: ONE [S, 3K] gather from the fused w|m|v storage
+    # serves both the forward rows AND the optimizer moments.
+    if fused_tbl:
+        su = {
+            t: take_rows_f32(opt_state["sparse"][t]["wmv"], u[t])
+            for t in slot_names
+        }
+        rows = {t: su[t][..., : tables[t].shape[-1]] for t in slot_names}
+    else:
+        rows = {t: take_rows_f32(tables[t], u[t]) for t in slot_names}
 
     lookup_kw = {} if lookup is None else {"lookup": lookup}
 
@@ -328,7 +405,9 @@ def _sparse_step_body(model, tx_dense, sopt, slot_names, params, opt_state, msta
     new_sparse = {}
     for i, t in enumerate(slot_names):
         new_params[t], new_sparse[t] = sopt.apply(
-            opt_state["sparse"][t], tables[t], u[t], g_rows[t],
+            opt_state["sparse"][t],
+            su[t] if fused_tbl else tables[t],
+            u[t], g_rows[t],
             jax.random.fold_in(sr_key, i),
         )
     return new_params, {"dense": new_dense, "sparse": new_sparse}, new_mstate, loss
