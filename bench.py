@@ -140,8 +140,14 @@ def _inner() -> None:
         float(loss)
         return n_steps * batch_size / (time.perf_counter() - t0)
 
-    # headline: sparse dedup path + Pallas VMEM kernels
-    sopt = SP.make_sparse_row_optimizer(cfg.optimizer, cfg.learning_rate)
+    # headline: sparse dedup path + Pallas VMEM kernels + fused [V,3K]
+    # w|m|v storage (ONE vocab-row gather + ONE scatter per step instead
+    # of 2+2; trajectory-exact vs plain sparse Adam —
+    # tests/test_sparse.py::test_fused_table_matches_unfused_adam;
+    # 7.23 -> 6.96 ms measured at this point)
+    sopt = SP.make_sparse_row_optimizer(
+        cfg.optimizer, cfg.learning_rate, fused_table=True
+    )
     params, mstate = model.init(jax.random.PRNGKey(0))
     opt_state = SP.init_opt_state(model, tx, sopt, params)
     sstep = SP.build_sparse_train_step(
@@ -166,7 +172,7 @@ def _inner() -> None:
                 "unit": "examples/sec",
                 "vs_baseline": round(eps / REFERENCE_EXAMPLES_PER_SEC, 2),
                 "dense_static_examples_per_sec": round(eps_dense, 1),
-                "config": "sparse_table_update+pallas_expand+static_fields+bf16_towers",
+                "config": "sparse_table_update+pallas_expand+fused_table+static_fields+bf16_towers",
                 # lazy sparse Adam is AUC-neutral single-pass but loses
                 # -0.0119 AUC by epoch 4 (QUALITY_SWEEPS.json
                 # sparse_epochs); multi-epoch convergence runs should
