@@ -147,6 +147,31 @@ def test_fused_table_matches_unfused_adam():
         )
 
 
+def test_fused_table_checkpoint_resume(tmp_path):
+    """The [V,3K] wmv opt-state tree must round-trip through Orbax and
+    resume training (the layout is new; a restore quirk would strand
+    every --fused_table run at its first restart)."""
+    from tf_repos_tpu.data.synthetic import write_synthetic_libsvm
+    from tf_repos_tpu.train.harness import run_task
+
+    d = tmp_path / "data"
+    d.mkdir()
+    write_synthetic_libsvm(str(d / "tr.libsvm"), 96, feature_size=300, seed=0)
+    write_synthetic_libsvm(str(d / "va.libsvm"), 32, feature_size=300, seed=1)
+    cfg = Config(
+        model="DeepFM", feature_size=300, field_size=39, embedding_size=4,
+        deep_layers="8,4", dropout="1.0,1.0", batch_size=32, num_epochs=1,
+        log_steps=5, learning_rate=0.01, data_dir=str(d),
+        model_dir=str(tmp_path / "m"), dt_dir="d", eval_throttle_secs=0,
+        seed=7, sparse_table_update=True, fused_table=True,
+        mesh_data=1, mesh_model=1,
+    )
+    m1 = run_task(cfg)
+    m2 = run_task(cfg)  # restores the wmv tree, trains one more epoch
+    assert m2["step"] == 2 * m1["step"]
+    assert np.isfinite(m2["loss"])
+
+
 def test_fused_table_rejects_non_adam_and_double_fuse():
     with pytest.raises(ValueError, match="Adam"):
         SP.make_sparse_row_optimizer("ftrl", 0.01, fused_table=True)

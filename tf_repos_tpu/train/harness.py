@@ -266,10 +266,14 @@ class Harness:
     def _make_mesh(self):
         """Mesh-sharded execution when >1 device is visible or the user
         asks for table sharding (mesh_model>1); plain single-device jit
-        otherwise (no shard_map overhead on one chip)."""
+        otherwise (no shard_map overhead on one chip). Explicitly
+        requesting --mesh_data=1 --mesh_model=1 also selects the
+        single-device path even when more devices are visible (the
+        1x1-mesh shard_map adds overhead and excludes the single-chip
+        -only paths like --fused_table)."""
         cfg = self.cfg
         n = len(jax.devices())
-        if n == 1 and cfg.mesh_model <= 1:
+        if (n == 1 or cfg.mesh_data == 1) and cfg.mesh_model <= 1:
             return None
         from tf_repos_tpu.parallel.mesh import make_mesh
 
