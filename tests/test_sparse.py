@@ -381,8 +381,9 @@ def test_bf16_sparse_training_tracks_f32():
 
 def test_pow2_pad_mode_matches_max():
     """uids bucket sizing is invisible to the math: pow2 (tight, grows
-    monotonically) and max (static worst case) give identical
-    trajectories; pow2's buckets are powers of two and never shrink."""
+    monotonically over the quarter-pow2 ladder since round 4) and max
+    (static worst case) give identical trajectories; buckets never
+    shrink."""
     cfg = _cfg(optimizer="Adam", learning_rate=0.01, l2_reg=1e-4)
     model = create_model(cfg)
     batches = _batches(cfg, 4)
@@ -396,7 +397,11 @@ def test_pow2_pad_mode_matches_max():
                 m[SP.UIDS_PREFIX + next(iter(model.sparse_slots()))].shape[0]
                 for m in mapped
             ]
-            assert all(s & (s - 1) == 0 or s == cfg.feature_size for s in sizes)
+            from tf_repos_tpu.data.sparse_batch import quarter_pow2
+
+            assert all(
+                quarter_pow2(s) == s or s == cfg.feature_size for s in sizes
+            )
             assert sizes == sorted(sizes)  # monotonic growth
         from tf_repos_tpu.train.optimizers import make_optimizer
 

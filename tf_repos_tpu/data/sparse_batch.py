@@ -64,7 +64,12 @@ class SparseBatchMapper:
     def _s_pad(self, name: str, vocab: int, total_slots: int, uniq: int) -> int:
         if self.pad_mode == "max":
             return min(total_slots + 1, vocab)
-        bucket = max(self._bucket.get(name, 0), 1 << max(uniq - 1, 1).bit_length())
+        # quarter-pow2 ladder (round 4, see quarter_pow2): every
+        # S_pad-proportional device op — the optimizer leg's vocab-row
+        # gathers/scatters above all — pays for PADDED rows, and pow2
+        # wasted up to 100% of them (107,832 uniques -> 131,072 at the
+        # published point; the ladder gives 114,688 = 12.5% fewer rows)
+        bucket = max(self._bucket.get(name, 0), quarter_pow2(uniq))
         bucket = min(bucket, vocab)
         bucket = max(bucket, uniq)  # vocab-capped bucket must still fit
         self._bucket[name] = bucket
@@ -334,9 +339,10 @@ class GlobalUidsUnion:
             seen[all_u[all_u < slot.vocab]] = True
             g = np.flatnonzero(seen).astype(np.int32)
 
-            bucket = max(
-                self._bucket.get(name, 0), 1 << max(int(g.size) - 1, 1).bit_length()
-            )
+            # same quarter-pow2 ladder as SparseBatchMapper._s_pad: the
+            # bucket is a deterministic function of the (identical)
+            # global count + identical history, so every host agrees
+            bucket = max(self._bucket.get(name, 0), quarter_pow2(int(g.size)))
             bucket = min(bucket, slot.vocab)
             bucket = max(bucket, int(g.size))
             self._bucket[name] = bucket
