@@ -130,3 +130,27 @@ def test_canned_wdl_rates_formulas():
     assert canned_wdl_rates("wide") == (min(0.2, root39), 0.05)
     assert canned_wdl_rates("deep") == (min(0.2, root39), 0.05)
     assert canned_wdl_rates("wide_n_deep") == (0.005, 0.001)
+
+
+def test_wdl_lr_warning_default_silent():
+    """ADVICE r4: optimizer=wdl silently ignores --learning_rate. A
+    non-default rate must warn (the user tuned a knob with no effect);
+    the Config default must stay silent. Also pins _DEFAULT_CLI_LR to
+    the real Config default (drift check)."""
+    import dataclasses
+    import warnings
+
+    from tf_repos_tpu.config import Config
+    from tf_repos_tpu.train.optimizers import _DEFAULT_CLI_LR, make_optimizer
+
+    default_lr = next(
+        f.default for f in dataclasses.fields(Config) if f.name == "learning_rate"
+    )
+    assert _DEFAULT_CLI_LR == default_lr
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        make_optimizer("wdl", default_lr, "wide_n_deep")  # silent
+
+    with pytest.warns(UserWarning, match="ignores --learning_rate"):
+        make_optimizer("wdl", 0.01, "wide_n_deep")

@@ -141,3 +141,17 @@ def test_multihost_preset_trains_single_process(tmp_path):
         },
     ))
     assert np.isfinite(m["loss"]) and 0.0 <= m["auc"] <= 1.0
+
+
+def test_with_preset_tolerates_preset_kwarg_and_copies():
+    """ADVICE r4: with_preset(preset, preset=...) must not explode with a
+    duplicate-kwarg TypeError, and expand_preset must hand out a COPY so
+    callers can't mutate the shared PRESETS entry."""
+    from tf_repos_tpu.config import expand_preset
+
+    cfg = Config.with_preset("multihost", preset="ignored", batch_size=32)
+    assert cfg.preset == "multihost" and cfg.batch_size == 32
+
+    d = expand_preset("multihost")
+    d["batch_size"] = -1
+    assert expand_preset("multihost").get("batch_size") != -1

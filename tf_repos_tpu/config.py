@@ -247,12 +247,18 @@ class Config:
         return dataclasses.replace(self, **kw)
 
     @classmethod
-    def with_preset(cls, preset: str, **overrides) -> "Config":
+    def with_preset(cls, name: str = "", **overrides) -> "Config":
         """Programmatic preset expansion: Config.with_preset("esmm_large_vocab",
-        feature_size=..., data_dir=...). Overrides win over the preset."""
-        base = dict(expand_preset(preset))
+        feature_size=..., data_dir=...). Overrides win over the preset.
+        The positional is named ``name`` (not ``preset``) so a kwargs
+        dict containing 'preset' — e.g. dataclasses.asdict(cfg) — can be
+        splatted without a duplicate-kwarg TypeError; a 'preset' kwarg
+        is accepted as an alias when no positional is given."""
+        name = name or overrides.get("preset", "")
+        overrides.pop("preset", None)
+        base = dict(expand_preset(name))
         base.update(overrides)
-        return cls(preset=preset, **base)
+        return cls(preset=name, **base)
 
 
 # Measured-best flag sets per operating regime. Sources: PERF.md,
@@ -319,7 +325,8 @@ def expand_preset(name: str) -> dict:
         raise ValueError(
             f"unknown --preset {name!r}; available: {', '.join(sorted(PRESETS))}"
         )
-    return PRESETS[name]
+    # copy: callers must not be able to mutate the shared PRESETS entry
+    return dict(PRESETS[name])
 
 
 def add_config_args(

@@ -49,9 +49,13 @@ USER_FIELDS = ("u_cat", "u_shop", "u_brand", "u_int")
 # slots/sample at pad 512). Two documented deviations when the
 # attention MLP is stochastic/normalized: dropout draws align to live
 # slots (not padded positions), and --batch_norm statistics are
-# computed over live slots — the reference's stats include its padded
-# positions (sparse_tensor_to_dense rows beyond each sample's length,
-# DIN.py:152-173), which is a padding artifact, not a semantic.
+# computed over the COO bucket's rows — live slots plus the bucket's
+# pad rows (idx=dest=0, w=0; up to ~25% of rows as the quarter-pow2
+# bucket grows), NOT over every padded position. Pad rows contribute 0
+# to the pooled sums either way; their share of bn stats/dropout draws
+# is a (small) padding artifact, as is the reference's own inclusion of
+# sparse_tensor_to_dense rows beyond each sample's length
+# (DIN.py:152-173) — neither is a semantic.
 MH_COO_GROUPS = (
     ("u_cat", True), ("u_shop", True), ("u_brand", True), ("u_int", True),
     ("a_int", False),

@@ -346,18 +346,30 @@ def fits_vmem_packed(s_pad: int, k: int) -> bool:
 _warned_shapes: set = set()
 
 
-def _warn_fallback(kind: str, s_pad: int, k: int) -> None:
+def _warn_fallback(kind: str, s_pad: int, k: int, n_out: int = 0) -> None:
     """One loud trace-time warning per (kind, shape) when a Pallas sparse
     path silently degrades to XLA because the uids/COO bucket exceeds
     even the lane-packed VMEM cap — the footgun VERDICT r3 flagged:
     uniform ids at large vocab have no batch duplication, the bucket
-    blows past the cap, and the step quietly runs ~2-3x slower."""
-    key = (kind, s_pad, k)
+    blows past the cap, and the step quietly runs ~2-3x slower.
+    n_out > 0 flags the other blocker: the pooled output exceeds
+    COO_OUT_CAP (huge batch x group count), which the rows-cap text
+    would misdiagnose."""
+    key = (kind, s_pad, k, n_out)
     if key in _warned_shapes:
         return
     _warned_shapes.add(key)
     import warnings
 
+    if n_out > COO_OUT_CAP:
+        warnings.warn(
+            f"pallas {kind}: pooled output {n_out} rows exceeds the pinned-"
+            f"VMEM output cap COO_OUT_CAP={COO_OUT_CAP}; falling back to "
+            f"XLA gather/scatter. Cause: batch_size x n_groups too large "
+            f"for the pinned [G,K] output. Remedy: smaller batch.",
+            stacklevel=2,
+        )
+        return
     cap = VMEM_ROW_CAP if (k > 64 or 128 % k) else _PACKED_BYTES_CAP // (k * 4)
     warnings.warn(
         f"pallas {kind}: uids bucket {s_pad} rows (K={k}) exceeds the VMEM "
@@ -732,7 +744,7 @@ def make_coo_pool(chunk: int = 8192, unroll: int = 16):
         elif fits_vmem_packed(s, k) and n_out <= COO_OUT_CAP:
             tier = 2
         else:
-            _warn_fallback("coo_pool", s, k)
+            _warn_fallback("coo_pool", s, k, n_out=n_out)
             return coo_pool_reference(rows, idx, dest, w, n_out)
         extra = tuple(
             sorted(

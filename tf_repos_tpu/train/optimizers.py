@@ -34,8 +34,29 @@ def make_optimizer(
     if key in ("gd", "sgd"):
         return optax.sgd(learning_rate)
     if key == "wdl":
+        # the canned composite derives its own rates from model_type —
+        # a CLI --learning_rate is silently ignored here (reference-
+        # faithful: wide_n_deep.py's lr flag is commented out). Warn so
+        # a user deliberately tuning the rate isn't surprised.
+        if learning_rate != _DEFAULT_CLI_LR:
+            import warnings
+
+            warnings.warn(
+                f"optimizer=wdl ignores --learning_rate ({learning_rate}): "
+                "the canned composite uses the TF1 canned-estimator rates "
+                f"{canned_wdl_rates(model_type)} (wide, deep) derived from "
+                f"model_type={model_type!r}. Use --optimizer=ftrl or "
+                "adagrad for a custom rate.",
+                stacklevel=2,
+            )
         return wdl_composite(model_type)
     raise ValueError(f"unknown optimizer {name!r}")
+
+
+# Config.learning_rate's dataclass default (config.py) — make_optimizer
+# can't import config (circular); drift is caught by
+# tests/test_optimizers.py::test_wdl_lr_warning_default_silent
+_DEFAULT_CLI_LR = 0.0005
 
 
 # TF1 canned-estimator learning-rate constants (tensorflow_estimator
