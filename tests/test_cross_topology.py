@@ -62,12 +62,20 @@ def _host_tree(tree):
 TARGETS = [(2, 4), (8, 1), (1, 1)]
 
 
-@pytest.mark.parametrize("sparse", [False, True])
+EXTRAS = {
+    "dense": {},
+    "sparse": dict(sparse_table_update=True, fused_moments=True),
+    # the [V_local,3K] w|m|v tree (mesh-aware --fused_table, round 5)
+    "fused_table": dict(sparse_table_update=True, fused_table=True),
+}
+
+
+@pytest.mark.parametrize("variant", list(EXTRAS))
 def test_restore_is_exact_under_every_mesh_and_training_continues(
-    workdir, sparse
+    workdir, variant
 ):
-    extra = dict(sparse_table_update=True, fused_moments=True) if sparse else {}
-    tag = f"m_s{int(sparse)}"
+    extra = EXTRAS[variant]
+    tag = f"m_{variant}"
 
     # epoch 1 under the source mesh (4,2)
     m1 = run_task(_cfg(workdir, (4, 2), tag, **extra))

@@ -436,12 +436,24 @@ def test_stack_batches_pads_grown_uids():
     assert out["x"].shape == (2, 2)
 
 
-@pytest.mark.parametrize("mesh_shape,fused", [((4, 2), False), ((2, 4), True)])
-def test_sharded_sparse_matches_single_chip(mesh_shape, fused):
+@pytest.mark.parametrize(
+    "mesh_shape,layout",
+    [
+        ((4, 2), "plain"),
+        ((2, 4), "moments"),
+        # --fused_table under every dryrun mesh shape (VERDICT r4 item 1):
+        # each model shard keeps a [V_local,3K] w|m|v array; vocab 301
+        # does not divide the model axis, so padded shards are exercised
+        ((8, 1), "table"),
+        ((4, 2), "table"),
+        ((2, 4), "table"),
+    ],
+)
+def test_sharded_sparse_matches_single_chip(mesh_shape, layout):
     """Mesh-sharded lazy updates (parallel/sparse_step.py) == the
     single-chip sparse trajectory to float tolerance, across mesh shapes
-    and the fused-moment layout. The vocab here does NOT divide the model
-    axis, so the padding path is exercised too."""
+    and the fused-moment/fused-table layouts. The vocab here does NOT
+    divide the model axis, so the padding path is exercised too."""
     from tf_repos_tpu.parallel.mesh import make_mesh
     from tf_repos_tpu.parallel.sparse_step import (
         ShardedSparseState,
@@ -449,6 +461,8 @@ def test_sharded_sparse_matches_single_chip(mesh_shape, fused):
     )
     from tf_repos_tpu.train.optimizers import make_optimizer
 
+    fused = layout == "moments"
+    fused_table = layout == "table"
     cfg = _cfg(optimizer="Adam", learning_rate=0.01, l2_reg=1e-4, feature_size=301)
     model = create_model(cfg)
     tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
@@ -456,7 +470,9 @@ def test_sharded_sparse_matches_single_chip(mesh_shape, fused):
     mapper = SparseBatchMapper(model.sparse_slots())
     mapped = [mapper(dict(b)) for b in batches]
 
-    sopt1 = SP.make_sparse_row_optimizer("Adam", 0.01, fused_moments=fused)
+    sopt1 = SP.make_sparse_row_optimizer(
+        "Adam", 0.01, fused_moments=fused, fused_table=fused_table
+    )
     params, mstate = model.init(jax.random.PRNGKey(7))
     o1 = SP.init_opt_state(model, tx, sopt1, params)
     step1 = SP.build_sparse_train_step(model, tx, sopt1)
@@ -467,7 +483,8 @@ def test_sharded_sparse_matches_single_chip(mesh_shape, fused):
 
     mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
     sopt2 = SP.make_sparse_row_optimizer(
-        "Adam", 0.01, fused_moments=fused, sorted_indices=False
+        "Adam", 0.01, fused_moments=fused, sorted_indices=False,
+        fused_table=fused_table,
     )
     st = ShardedSparseState(model, tx, sopt2, mesh)
     state, specs = st.init(jax.random.PRNGKey(7))
@@ -485,6 +502,14 @@ def test_sharded_sparse_matches_single_chip(mesh_shape, fused):
         # padding rows must stay exactly zero (never touched)
         pad = np.asarray(state["params"][t])[a.shape[0]:]
         assert pad.size == 0 or float(np.max(np.abs(pad))) == 0.0
+        if fused_table:
+            # the sharded [V_local,3K] w|m|v storage must agree with the
+            # single-chip fused tree row-for-row (concatenated shards)
+            a3 = np.asarray(o1["sparse"][t]["wmv"])
+            b3 = np.asarray(state["opt_state"]["sparse"][t]["wmv"])[
+                : a3.shape[0]
+            ]
+            np.testing.assert_allclose(a3, b3, rtol=2e-5, atol=1e-7)
 
 
 def test_sharded_sparse_harness_end_to_end(tmp_path):
@@ -504,7 +529,7 @@ def test_sharded_sparse_harness_end_to_end(tmp_path):
             log_steps=4, learning_rate=0.01, data_dir=str(data), dt_dir="x",
             eval_throttle_secs=0, seed=7, sparse_table_update=True,
             param_dtype="bfloat16", mesh_data=4, mesh_model=2,
-            model_dir=str(tmp_path / "m"),
+            fused_table=True, model_dir=str(tmp_path / "m"),
         )
     )
     assert np.isfinite(m["loss"]) and 0.0 <= m["auc"] <= 1.0

@@ -294,9 +294,13 @@ PRESETS = {
     # multi_hot_pad=0 auto-sizes to the per-field p99 — generous pads
     # are ~free under mh_coo/mh_bucket and truncation costs AUC
     # (TRUNCATION.md).
+    # fused_table ([V,3K] w|m|v, 1 gather + 1 scatter) replaced
+    # fused_moments in round 5 once it became mesh-aware ([V_local,3K]
+    # per shard; parallel/sparse_step.py). Adam-only — override
+    # --fused_table=false --fused_moments=true for other optimizers.
     "esmm_large_vocab": dict(
         batch_size=4096, sparse_table_update=True, pallas_expand=True,
-        mh_coo=True, mh_bucket="pow2", fused_moments=True,
+        mh_coo=True, mh_bucket="pow2", fused_table=True,
         param_dtype="bfloat16", compute_dtype="bfloat16",
         packed_cache=True, slim_transfer=True, steps_per_dispatch=64,
         map_workers=2, multi_hot_pad=0,
@@ -305,7 +309,7 @@ PRESETS = {
     # slots (models/din.py MH_COO_GROUPS).
     "din_large_vocab": dict(
         batch_size=4096, sparse_table_update=True, pallas_expand=True,
-        mh_coo=True, mh_bucket="pow2", fused_moments=True,
+        mh_coo=True, mh_bucket="pow2", fused_table=True,
         param_dtype="bfloat16", compute_dtype="bfloat16",
         packed_cache=True, steps_per_dispatch=8, map_workers=2,
         multi_hot_pad=0,

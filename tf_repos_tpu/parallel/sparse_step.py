@@ -64,7 +64,12 @@ from tf_repos_tpu.parallel.step import (
     pad_params_for_mesh,
     _spec_tree_like,
 )
-from tf_repos_tpu.train.sparse import UIDS_PREFIX, SparseRowOpt, split_params
+from tf_repos_tpu.train.sparse import (
+    UIDS_PREFIX,
+    FusedTableRowOpt,
+    SparseRowOpt,
+    split_params,
+)
 
 
 def sparse_batch_spec(batch: Dict[str, Any]) -> Dict[str, P]:
@@ -208,6 +213,7 @@ def _make_sparse_step_body(
     slot_names = list(slots.keys())
     lookup = make_sharded_lookup(MODEL_AXIS)
     row_lookup = inner_lookup if inner_lookup is not None else dense_lookup
+    fused_tbl = isinstance(sopt, FusedTableRowOpt)
 
     def step(params, opt_state, mstate, batch, rng):
         # SR keys must be identical on every device (the same row update
@@ -219,10 +225,28 @@ def _make_sparse_step_body(
         tables, rest = split_params(params, slot_names)
         u = {t: batch[UIDS_PREFIX + t] for t in slot_names}
         # replicated [S_pad, ...] working set: masked local gather + psum
-        # over "model" (sentinels hit zero-valued padding rows)
-        rows = {
-            t: lookup(tables[t], u[t]).astype(jnp.float32) for t in slot_names
-        }
+        # over "model" (sentinels hit zero-valued padding rows).
+        # --fused_table: the gather reads each shard's [V_local, 3K]
+        # w|m|v storage instead of the table — ONE [S,3K] gather+psum
+        # serves both the forward rows (the :K slice) and the optimizer
+        # moments, and the write-back below is the matching single
+        # scatter per shard. Same 1+1 row-op structure as the single-
+        # chip FusedTableRowOpt (train/sparse.py), applied per shard.
+        if fused_tbl:
+            su = {
+                t: lookup(opt_state["sparse"][t]["wmv"], u[t]).astype(
+                    jnp.float32
+                )
+                for t in slot_names
+            }
+            rows = {
+                t: su[t][..., : tables[t].shape[-1]] for t in slot_names
+            }
+        else:
+            rows = {
+                t: lookup(tables[t], u[t]).astype(jnp.float32)
+                for t in slot_names
+            }
 
         def data_loss_fn(rows, rest):
             p = dict(rest)
@@ -270,8 +294,13 @@ def _make_sparse_step_body(
             u_loc = jnp.where(
                 in_range, ut - lo, v_local + jnp.arange(ut.shape[0], dtype=ut.dtype)
             )
+            # fused_table: apply() consumes the replicated gathered
+            # [S,3K] rows (every shard computes identical row updates;
+            # the scatter at u_loc keeps only this shard's rows)
             new_params[t], new_sparse[t] = sopt.apply(
-                opt_state["sparse"][t], tables[t], u_loc, g_rows[t],
+                opt_state["sparse"][t],
+                su[t] if fused_tbl else tables[t],
+                u_loc, g_rows[t],
                 jax.random.fold_in(sr_key, i),
             )
         return new_params, {"dense": new_dense, "sparse": new_sparse}, new_mstate, (

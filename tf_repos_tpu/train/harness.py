@@ -166,14 +166,8 @@ class Harness:
                 raise ValueError(
                     "--fused_table requires --sparse_table_update (the "
                     "fused [V,3K] w|m|v storage lives in the lazy sparse "
-                    "row-update path)"
-                )
-            if self.mesh is not None:
-                raise ValueError(
-                    "--fused_table is single-chip only: the sharded sparse "
-                    "step keeps its own table/moment layout "
-                    "(parallel/sparse_step.py); drop --mesh_model/--mesh_data "
-                    "or --fused_table"
+                    "row-update path). Works single-chip and under a mesh "
+                    "(each model shard keeps a [V_local,3K] w|m|v array)."
                 )
         # --mh_coo: host-side COO pack of the sum-pooled multi-hot groups
         # (data/sparse_batch.MhCooPacker) — device pooling cost scales

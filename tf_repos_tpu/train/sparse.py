@@ -122,7 +122,13 @@ class FusedTableRowOpt(SparseRowOpt):
     (~0.7 ms at 4.5M x 16 bf16 — a strided row copy), so eval /
     checkpoint / export paths are unchanged. The checkpoint carries the
     table twice (params + wmv); layouts don't interchange with
-    fused_moments or the plain layout."""
+    fused_moments or the plain layout.
+
+    Mesh-aware (round 5): under a model-sharded mesh each shard stores
+    [V_local, 3K] and the sharded step (parallel/sparse_step.py) gathers
+    [S,3K] with the masked-gather+psum lookup, then scatters this
+    shard's rows back — the same 1+1 row-op structure per shard, vs the
+    unfused sharded layout's 2 gathers + 2 scatters."""
 
 
 def make_sparse_row_optimizer(
@@ -145,8 +151,8 @@ def make_sparse_row_optimizer(
 
     fused_table: go one further — fuse the TABLE into the same array
     ([V, 3K] = w|m|v, see FusedTableRowOpt): 1 gather + 1 scatter per
-    step. Adam only (the published large-vocab optimizer); single-chip
-    sparse path (the sharded step keeps its own layout)."""
+    step. Adam only (the published large-vocab optimizer); works on one
+    chip and per shard under a model-sharded mesh."""
     gather = take_rows_f32 if sorted_indices else take_rows_unsorted_f32
     put = put_rows if sorted_indices else put_rows_unsorted
     key = name.lower()
