@@ -157,6 +157,22 @@ def _inner() -> None:
     mapped = [jax.tree.map(jnp.asarray, mapper(dict(b))) for b in raw]
     eps = timed_steps(sstep, params, opt_state, mstate, mapped)
 
+    # + --sparse_catchup (round 5): per-row beta^delta moment decay on
+    # touch — the multi-epoch fix (QUALITY_SWEEPS sparse_epochs: plain
+    # lazy -0.012/-0.016 AUC vs dense at 4/6 epochs; catchup +0.017/
+    # +0.020 ABOVE dense — dense Adam's residual-momentum micro-updates
+    # on rare untouched rows overfit, catchup freezes them). Cost: one
+    # int32[S] gather+scatter + a per-row pow.
+    sopt_c = SP.make_sparse_row_optimizer(
+        cfg.optimizer, cfg.learning_rate, fused_table=True, catchup=True
+    )
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    opt_state_c = SP.init_opt_state(model, tx, sopt_c, params)
+    cstep = SP.build_sparse_train_step(
+        model, tx, sopt_c, lookup=make_vmem_expand_lookup()
+    )
+    eps_catchup = timed_steps(cstep, params, opt_state_c, mstate, mapped)
+
     # reference point: the dense + static_fields path (round-1 headline)
     params, mstate = model.init(jax.random.PRNGKey(0))
     opt_state = tx.init(params)
@@ -171,13 +187,15 @@ def _inner() -> None:
                 "value": round(eps, 1),
                 "unit": "examples/sec",
                 "vs_baseline": round(eps / REFERENCE_EXAMPLES_PER_SEC, 2),
+                "catchup_examples_per_sec": round(eps_catchup, 1),
                 "dense_static_examples_per_sec": round(eps_dense, 1),
                 "config": "sparse_table_update+pallas_expand+fused_table+static_fields+bf16_towers",
-                # lazy sparse Adam is AUC-neutral single-pass but loses
-                # -0.0119 AUC by epoch 4 (QUALITY_SWEEPS.json
-                # sparse_epochs); multi-epoch convergence runs should
-                # use the dense_static configuration above
-                "regime": "single-pass/streaming; multi-epoch uses dense_static",
+                # --sparse_catchup removed the old single-pass caveat:
+                # measured AUC >= dense at 1/2/4/6 epochs of the 2M
+                # surrogate (QUALITY_SWEEPS.json sparse_epochs; plain
+                # lazy was -0.012 by epoch 4). catchup_examples_per_sec
+                # is the any-epoch-safe rate.
+                "regime": "any-epoch with --sparse_catchup (AUC >= dense, QUALITY_SWEEPS)",
             }
         )
     )

@@ -11,6 +11,11 @@
                 1/2/4/6 epochs of the 2M surrogate (lazy rows ARE
                 different Adam semantics — untouched rows keep stale
                 moments — and the effect compounds with epochs).
+                Round 5 adds a third variant per epoch count:
+                sparse + --sparse_catchup (per-row beta^delta moment
+                decay on touch, train/sparse.py) — the VERDICT r4
+                item-2 fix whose job is |AUC - dense| <= 0.001 at 4
+                and 6 epochs.
 
 Operating point = the bench_e2e.py headline cell (DeepFM, B=16384,
 lr 2e-3, dropout 0.9, bf16 towers, static_fields=13, packed_cache).
@@ -39,7 +44,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JSON_PATH = os.path.join(REPO, "QUALITY_SWEEPS.json")
 
 
-def run_cell(data_dir, feature_size, model_dir, *, seed, epochs, slim, sparse):
+def run_cell(data_dir, feature_size, model_dir, *, seed, epochs, slim, sparse,
+             catchup=False):
     from tf_repos_tpu.config import Config
     from tf_repos_tpu.train.harness import run_task
 
@@ -53,6 +59,7 @@ def run_cell(data_dir, feature_size, model_dir, *, seed, epochs, slim, sparse):
         compute_dtype="bfloat16", static_fields=13, packed_cache=True,
         steps_per_dispatch=8, slim_transfer=slim,
         sparse_table_update=sparse, pallas_expand=sparse,
+        sparse_catchup=catchup,
     )
     t0 = time.time()
     m = run_task(cfg)
@@ -109,16 +116,21 @@ def main(argv=None):
         print("SLIM_DELTAS " + json.dumps({a.tag: deltas}))
 
     else:  # sparse_epochs
+        variants = (
+            ("dense", dict(sparse=False)),
+            ("sparse", dict(sparse=True)),
+            ("catchup", dict(sparse=True, catchup=True)),
+        )
         for epochs in (1, 2, 4, 6):
-            for sparse in (False, True):
-                key = f"{a.tag}_ep{epochs}_{'sparse' if sparse else 'dense'}"
+            for vname, kw in variants:
+                key = f"{a.tag}_ep{epochs}_{vname}"
                 if key in section:
                     print(f"[skip] {key}")
                     continue
                 cell = run_cell(
                     a.data_dir, a.feature_size,
                     os.path.join(a.work_dir, key),
-                    seed=7, epochs=epochs, slim=False, sparse=sparse,
+                    seed=7, epochs=epochs, slim=False, **kw,
                 )
                 section[key] = cell
                 save(res)
@@ -127,8 +139,16 @@ def main(argv=None):
         for epochs in (1, 2, 4, 6):
             d = section.get(f"{a.tag}_ep{epochs}_dense")
             s = section.get(f"{a.tag}_ep{epochs}_sparse")
+            c = section.get(f"{a.tag}_ep{epochs}_catchup")
             if d and s:
-                band[epochs] = round(s["auc"] - d["auc"], 5)
+                band[epochs] = {
+                    "sparse": round(s["auc"] - d["auc"], 5),
+                    **(
+                        {"catchup": round(c["auc"] - d["auc"], 5)}
+                        if c
+                        else {}
+                    ),
+                }
         print("SPARSE_BAND " + json.dumps(band))
 
 

@@ -148,9 +148,15 @@ class Config:
     # train/sparse.FusedTableRowOpt) so each step does ONE row gather +
     # ONE row scatter per table instead of 2+2 — the vocab-row SCATTER is
     # the single most expensive op of the large-vocab step (measured
-    # 15.4-18.7 ms each at V=4.5M, S=131k on v5e). Adam only; single-chip
-    # sparse path; requires sparse_table_update; supersedes fused_moments.
+    # 15.4-18.7 ms each at V=4.5M, S=131k on v5e). Adam only; requires
+    # sparse_table_update; supersedes fused_moments. Mesh-aware: each
+    # model shard keeps a [V_local,3K] array (parallel/sparse_step.py).
     fused_table: bool = False
+    # per-row Adam moment catch-up for the lazy sparse path: decay m,v by
+    # beta^(steps-since-last-touch) on touch (a [V] int32 last-touched
+    # array) — dense Adam's zero-grad moment semantics, closing the
+    # multi-epoch AUC gap of plain lazy Adam (QUALITY_SWEEPS). Adam only.
+    sparse_catchup: bool = False
     # uids padding policy for the sparse mapper (data/sparse_batch.py):
     # "pow2" sizes the device working set to the ACTUAL unique-row count
     # (power-of-2 buckets, monotonic growth — a handful of recompiles);
@@ -279,14 +285,18 @@ PRESETS = {
         compute_dtype="bfloat16", packed_cache=True, slim_transfer=True,
         steps_per_dispatch=8,
     ),
-    # The 2.27M ex/s bench configuration. SINGLE-PASS ONLY: lazy sparse
-    # Adam loses −0.0119 AUC at 4 epochs / −0.0162 at 6
-    # (QUALITY_SWEEPS.json sparse_epochs) — use for one-epoch /
-    # streaming ingestion, not multi-epoch convergence runs.
+    # The sparse bench configuration, ANY-epoch-safe since round 5:
+    # --sparse_catchup (per-row beta^delta moment decay on touch) makes
+    # lazy sparse Adam measure AT OR ABOVE dense AUC at 1/2/4/6 epochs
+    # of the 2M surrogate (QUALITY_SWEEPS.json sparse_epochs: catchup
+    # +0.0008/+0.0034/+0.0174/+0.0204 vs dense; plain lazy was -0.012 by
+    # epoch 4). Cost ~4% of the headline step (2.37M -> 2.26M ex/s).
+    # The historical name is kept for CLI compatibility.
     "criteo_singlepass": dict(
         batch_size=16384, learning_rate=2e-3, static_fields=13,
         compute_dtype="bfloat16", packed_cache=True, slim_transfer=True,
         steps_per_dispatch=8, sparse_table_update=True, pallas_expand=True,
+        sparse_catchup=True,
     ),
     # Ali-CCP ESMM/DeepCvrMTL at multi-million vocab (the reference's
     # "very slow, 20 GB RAM" case): lazy sparse + VMEM kernels + COO
@@ -301,6 +311,7 @@ PRESETS = {
     "esmm_large_vocab": dict(
         batch_size=4096, sparse_table_update=True, pallas_expand=True,
         mh_coo=True, mh_bucket="pow2", fused_table=True,
+        sparse_catchup=True,
         param_dtype="bfloat16", compute_dtype="bfloat16",
         packed_cache=True, slim_transfer=True, steps_per_dispatch=64,
         map_workers=2, multi_hot_pad=0,
@@ -310,6 +321,7 @@ PRESETS = {
     "din_large_vocab": dict(
         batch_size=4096, sparse_table_update=True, pallas_expand=True,
         mh_coo=True, mh_bucket="pow2", fused_table=True,
+        sparse_catchup=True,
         param_dtype="bfloat16", compute_dtype="bfloat16",
         packed_cache=True, steps_per_dispatch=8, map_workers=2,
         multi_hot_pad=0,
