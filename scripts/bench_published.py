@@ -54,7 +54,7 @@ def make_batches(model_name, vocab, batch_size, pad, zipf, n=3, scale=1.0):
 
 def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
           n_steps=12, scale=1.0, attention=True, fused_bf16=False,
-          fused_table=False):
+          fused_table=False, dma_scatter=False):
     import jax
     import jax.numpy as jnp
 
@@ -119,10 +119,12 @@ def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
     sopt = SP.make_sparse_row_optimizer(
         cfg.optimizer, cfg.learning_rate,
         fused_moments=fused_bf16 and not fused_table,
-        fused_table=fused_table,
+        fused_table=fused_table, dma_scatter=dma_scatter,
     )
     params, mstate = model.init(jax.random.PRNGKey(0))
-    if fused_bf16 or fused_table:
+    if (fused_bf16 or fused_table) and not dma_scatter:
+        # dma_scatter is f32-only: its lane-padded 512B rows already
+        # beat the unpadded bf16 row ops (train/sparse.py docstring)
         params = SP.cast_tables(model, params, jnp.bfloat16)
     opt_state = SP.init_opt_state(model, tx, sopt, params)
     step = SP.build_sparse_train_step(
@@ -177,6 +179,12 @@ CELLS = {
     # per step — the vocab scatter is the biggest single op (15-19 ms)
     "esmm_coo_fused_table": ("ESMM", 512, 1.2, True, False, True, False, True),
     "din_att_coo_fused_table": ("DIN", 512, 1.2, True, True, True, False, True),
+    # + --dma_scatter (round 5): lane-padded f32 [V,L] w|m|v + per-row
+    # DMA write-back — padded 512B rows take the gather 7.99 -> 2.29 ms
+    # and the scatter 23.1 -> 10.96 (microbench); these cells measure
+    # the full step
+    "esmm_coo_dma": ("ESMM", 512, 1.2, True, False, True, False, True, True),
+    "din_att_coo_dma": ("DIN", 512, 1.2, True, True, True, False, True, True),
     # zipf 1.5: 16k unique -> the Pallas VMEM path ENGAGES (cap boundary)
     "esmm_coo_z15": ("ESMM", 512, 1.5, True, False, True),
     "din_att_bucket": ("DIN", 512, 1.2, False, True, True),
@@ -207,7 +215,8 @@ def main():
         out[tag] = bench(model_name, vocab, b, pad, zipf, coo, bucket,
                          n_steps=n, scale=scale, attention=att,
                          fused_bf16=bool(extra[0:1] and extra[0]),
-                         fused_table=bool(extra[1:2] and extra[1]))
+                         fused_table=bool(extra[1:2] and extra[1]),
+                         dma_scatter=bool(extra[2:3] and extra[2]))
         if memo_path:
             json.dump(out, open(memo_path, "w"))
         print(json.dumps({tag: out[tag]}), flush=True)

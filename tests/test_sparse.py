@@ -749,3 +749,54 @@ def test_sparse_catchup_equals_plain_when_every_row_touched():
 def test_sparse_catchup_rejects_non_adam():
     with pytest.raises(ValueError, match="sparse_catchup"):
         SP.make_sparse_row_optimizer("Adagrad", 0.05, catchup=True)
+
+
+def test_dma_scatter_matches_fused_table_trajectory():
+    """--dma_scatter (lane-padded [V,L] w|m|v + per-row DMA write-back)
+    must reproduce the plain fused-table trajectory: same math, and the
+    DMA copies whole padded rows — only XLA fusion-order noise from the
+    wider [S,L] gather remains (measured 1 ULP)."""
+    cfg = _cfg(optimizer="Adam", learning_rate=0.01, l2_reg=1e-4)
+    batches = _batches(cfg, 3)
+    _, p_ft, o_ft, l_ft = _run_sparse(cfg, batches, fused_table=True)
+    model = create_model(cfg)
+    from tf_repos_tpu.train.optimizers import make_optimizer
+
+    tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+    sopt = SP.make_sparse_row_optimizer(
+        cfg.optimizer, cfg.learning_rate, fused_table=True, dma_scatter=True
+    )
+    params, mstate = model.init(jax.random.PRNGKey(cfg.seed))
+    opt_state = SP.init_opt_state(model, tx, sopt, params)
+    step = SP.build_sparse_train_step(model, tx, sopt)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    l_dma = []
+    for i, b in enumerate(batches):
+        params, opt_state, mstate, loss = step(
+            params, opt_state, mstate, mapper(b), jax.random.PRNGKey(100 + i)
+        )
+        l_dma.append(float(loss))
+    np.testing.assert_allclose(l_ft, l_dma, rtol=1e-6)
+    for t in model.sparse_slots():
+        np.testing.assert_allclose(
+            np.asarray(p_ft[t]), np.asarray(params[t]), rtol=1e-6, atol=1e-7
+        )
+        K3 = np.asarray(o_ft["sparse"][t]["wmv"]).shape[-1]
+        np.testing.assert_allclose(
+            np.asarray(o_ft["sparse"][t]["wmv"]),
+            np.asarray(opt_state["sparse"][t]["wmv"])[..., :K3],
+            rtol=1e-6, atol=1e-7,
+        )
+        # lane padding beyond 3K stays zero
+        pad_lanes = np.asarray(opt_state["sparse"][t]["wmv"])[..., K3:]
+        assert float(np.abs(pad_lanes).max()) == 0.0
+
+
+def test_dma_scatter_validation():
+    with pytest.raises(ValueError, match="dma_scatter"):
+        SP.make_sparse_row_optimizer("Adam", 0.01, dma_scatter=True)
+    sopt = SP.make_sparse_row_optimizer(
+        "Adam", 0.01, fused_table=True, dma_scatter=True
+    )
+    with pytest.raises(ValueError, match="f32"):
+        sopt.init(jnp.zeros((8, 4), jnp.bfloat16))

@@ -152,6 +152,14 @@ class Config:
     # sparse_table_update; supersedes fused_moments. Mesh-aware: each
     # model shard keeps a [V_local,3K] array (parallel/sparse_step.py).
     fused_table: bool = False
+    # Pallas per-row DMA write-back for the fused table (round 5): the
+    # w|m|v rows store LANE-PADDED ([V, L], L = 3K rounded up to 128,
+    # f32-only) and the vocab-row scatter becomes per-row async DMA
+    # copies. Measured V=4.5M/S=131k on v5e: gather 7.99 -> 2.29 ms
+    # (aligned 512B rows), scatter 23.1 -> 10.96 ms. LOSES below ~1M
+    # vocab (XLA is already at ~1.3 ms there); costs L/3K HBM capacity.
+    # Requires fused_table; rejects param_dtype=bfloat16.
+    dma_scatter: bool = False
     # per-row Adam moment catch-up for the lazy sparse path: decay m,v by
     # beta^(steps-since-last-touch) on touch (a [V] int32 last-touched
     # array) — dense Adam's zero-grad moment semantics, closing the

@@ -873,3 +873,106 @@ def make_vmem_expand_lookup(chunk: int = 8192, unroll: int = 16):
     # getattr(lookup, "coo_pool", xla default) — see models/esmm.py
     lookup.coo_pool = make_coo_pool(chunk=chunk, unroll=unroll)
     return lookup
+
+
+# ------------------------------------------------------ DMA row scatter
+#
+# The vocab-row WRITE-BACK (table.at[u].set(rows)) is the costliest
+# single op of the large-vocab sparse step even after --fused_table
+# collapses it to one scatter: XLA's scatter measured 15.4-18.7 ms at
+# V=4.5M, S=131k on v5e while the same-bytes gather runs 4.5-5.8 ms
+# (PERF.md). The uids are UNIQUE by the dedup contract, so the scatter
+# is really S independent row copies — no read-modify-write, no
+# collision handling. This kernel issues them as per-row async DMA
+# copies (rows stay in HBM; indices stream through SMEM blocks; `nsem`
+# copies in flight per wave), sidestepping XLA's conservative scatter
+# lowering entirely. Out-of-range indices (vocab sentinels, the sharded
+# path's OOB slots) are skipped — exactly mode="drop".
+#
+# Blocked in round 4 (the axon remote-compile helper 500'd on ANY-
+# memory-space kernels); the helper was fixed, re-validated round 5.
+
+
+def _dma_scatter_kernel(
+    idx_ref, rows_ref, tin_ref, tout_ref, sems, *, chunk: int, nsem: int,
+    v: int,
+):
+    """tout[idx[r]] = rows[c*chunk + r] for one SMEM index block, as
+    waves of `nsem` in-flight row DMAs (start nsem, then wait nsem —
+    the wave keeps the DMA queues deep without per-slot ring
+    bookkeeping). tin is the aliased input table; only DMA writes touch
+    tout."""
+    del tin_ref
+    c = pl.program_id(0)
+    base = c * chunk
+
+    def wave(g, carry):
+        r0 = g * nsem
+        for j in range(nsem):
+            d = idx_ref[r0 + j]
+
+            @pl.when(d < v)
+            def _(j=j, d=d):
+                pltpu.make_async_copy(
+                    rows_ref.at[base + r0 + j], tout_ref.at[d], sems.at[j]
+                ).start()
+
+        for j in range(nsem):
+            d = idx_ref[r0 + j]
+
+            @pl.when(d < v)
+            def _(j=j, d=d):
+                pltpu.make_async_copy(
+                    rows_ref.at[base + r0 + j], tout_ref.at[d], sems.at[j]
+                ).wait()
+
+        return carry
+
+    jax.lax.fori_loop(0, chunk // nsem, wave, 0)
+
+
+def dma_row_scatter(
+    table: jax.Array,  # [V, K]
+    u: jax.Array,  # [S] int32, unique; >= V dropped
+    rows: jax.Array,  # [S, K], same dtype as table
+    chunk: int = 8192,
+    nsem: int = 16,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """table.at[u].set(rows, mode="drop", unique_indices=True) as S
+    independent per-row DMA copies. The table input is aliased to the
+    output (in-place under donation). See the section comment above."""
+    V, K = table.shape
+    if rows.dtype != table.dtype:
+        rows = rows.astype(table.dtype)
+    vma = jax.typeof(u).vma | jax.typeof(table).vma | jax.typeof(rows).vma
+    interpret, chunk, nsem = _resolve_interpret(interpret, vma, chunk, nsem)
+    S = u.shape[0]
+    chunk = min(chunk, _round_up(S, nsem))
+    if S % chunk:
+        pad = _round_up(S, chunk) - S
+        u = jnp.pad(u, (0, pad), constant_values=V)
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(
+            _dma_scatter_kernel, chunk=chunk, nsem=nsem, v=V
+        ),
+        grid=(u.shape[0] // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda c: (c,), memory_space=pltpu.SMEM),
+            # rows EXPLICITLY in HBM: ANY lets Mosaic place the [S,K]
+            # block in VMEM, whose tiled memref rejects non-128-lane row
+            # slices (K=48); HBM memrefs are untiled, so per-row DMA
+            # slices of any width are legal
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((V, K), table.dtype, vma=vma),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((nsem,))],
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(u, rows, table)

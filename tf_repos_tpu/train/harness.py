@@ -306,6 +306,7 @@ class Harness:
             sorted_indices=self.mesh is None,
             fused_table=self.cfg.fused_table,
             catchup=self.cfg.sparse_catchup,
+            dma_scatter=self.cfg.dma_scatter,
         )
 
     def restore_or_init(self, ckpt: CheckpointManager):
@@ -444,7 +445,9 @@ class Harness:
 
             files = shard_files_for_host(files, jax.process_index(), jax.process_count())
         if not files:
-            raise FileNotFoundError(f"no input files match {cfg.data_dir}/{pattern}")
+            raise FileNotFoundError(
+                f"no {split}* input files for format {fmt} in {cfg.data_dir}"
+            )
         ds = self._build_reader(files, fmt, shuffle=shuffle, epochs=epochs)
         chain_factories = []
         if self._mh_bucket_pairs is not None and (
@@ -578,7 +581,13 @@ class Harness:
         if input_format(self.model) == "aliccp":
             from tf_repos_tpu.data.slim_wire import aliccp_encoding_batches
 
-            return aliccp_encoding_batches(ds, cfg.feature_size)
+            # COO wire compression (lo/hi idx split + dest counts) is
+            # single-process only: GlobalUidsUnion rewrites raw idx
+            return aliccp_encoding_batches(
+                ds, cfg.feature_size,
+                compress_coo=jax.process_count() == 1,
+                n_groups=len(self._mh_coo_groups or ()),
+            )
         from tf_repos_tpu.data.slim_wire import encoding_batches
 
         return encoding_batches(ds, cfg.static_fields)
