@@ -70,6 +70,19 @@ def main(argv=None):
         help="host map-chain thread pool size (--map_workers)",
     )
     ap.add_argument(
+        "--fused_table", action="store_true",
+        help="[V,3K] w|m|v fused storage (--fused_table; Adam only)",
+    )
+    ap.add_argument(
+        "--dma", action="store_true",
+        help="--dma_scatter: lane-padded f32 w|m|v + per-row DMA "
+        "write-back (implies --fused_table, forces f32 tables)",
+    )
+    ap.add_argument(
+        "--catchup", action="store_true",
+        help="--sparse_catchup per-row Adam moment catch-up",
+    )
+    ap.add_argument(
         "--slim", action="store_true",
         help="--slim_transfer wire format (data/slim_wire.py): halves "
         "host->device input bytes; the lever when the input link (PCIe "
@@ -92,9 +105,15 @@ def main(argv=None):
             steps_per_dispatch=a.steps_per_dispatch, packed_cache=True,
             sparse_table_update=a.sparse,
             pallas_expand=a.sparse and not a.no_pallas,
-            fused_moments=a.sparse, mh_coo=a.mh_coo, slim_transfer=a.slim,
+            fused_moments=a.sparse and not (a.fused_table or a.dma),
+            fused_table=a.fused_table or a.dma, dma_scatter=a.dma,
+            sparse_catchup=a.catchup,
+            mh_coo=a.mh_coo, slim_transfer=a.slim,
             mh_bucket=a.mh_bucket, map_workers=a.map_workers,
-            param_dtype="bfloat16" if a.sparse else "float32",
+            param_dtype=(
+                "float32" if a.dma
+                else ("bfloat16" if a.sparse else "float32")
+            ),
         )
     else:
         cfg = Config(
@@ -141,7 +160,8 @@ def main(argv=None):
         "epochs": a.epochs,
         "flags": {k: getattr(a, k) for k in
                   ("sparse", "no_pallas", "mh_coo", "slim", "multi_hot_pad",
-                   "mh_bucket", "map_workers")},
+                   "mh_bucket", "map_workers", "fused_table", "dma",
+                   "catchup")},
     }
     print(json.dumps(out))
 

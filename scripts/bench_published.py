@@ -102,9 +102,10 @@ def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
     for b in raw:
         if bucketer is not None:
             b = bucketer(b)
-        b = mapper(b)
+        # packer-first ordering (round 5): dedup scans live COO ids
         if packer is not None:
             b = packer(b)
+        b = mapper(b)
         host.append(b)
     host_ms = (time.perf_counter() - t0) / len(raw) * 1e3
     s_pad = int(host[0]["__uids_emb"].shape[0])

@@ -439,3 +439,37 @@ def test_packed_cache_csv_matches_text_path(tmp_path):
             np.testing.assert_array_equal(a[k], b[k])
             np.testing.assert_array_equal(a[k], c[k])
     assert plain[-1]["mask"].sum() == 3
+
+
+def test_iter_dict_batches_block_shuffle_covers_all_rows():
+    """Wide-row chunks take the batch-block shuffle path (round 5): rows
+    must be emitted exactly once per epoch, batches full-sized, and the
+    stream actually permuted. Narrow chunks keep the full permutation."""
+    import numpy as np
+
+    from tf_repos_tpu.data.pipeline import iter_dict_batches
+
+    B = 8
+    rng = np.random.default_rng(0)
+    # wide rows: 1 MB/row -> any chunk > 128 rows crosses the 128 MB cap
+    chunks = [
+        {
+            "y": np.arange(i * 200, (i + 1) * 200, dtype=np.int64),
+            "wide": np.zeros((200, 262144), np.int8),
+        }
+        for i in range(3)
+    ]
+    got = []
+    for b in iter_dict_batches(
+        iter(chunks), batch_size=B, row_key="y", nprng=rng, shuffle=True
+    ):
+        assert len(b["y"]) == B
+        got.append(np.asarray(b["y"]))
+    rows = np.concatenate(got)
+    live = rows[rows >= 0]  # final batch zero-pads
+    # count multiplicity: every original row exactly once (0 may pad)
+    ref = np.arange(600)
+    cnt = np.bincount(rows, minlength=600)
+    assert cnt[1:].max() == 1 and cnt[1:].min() == 1
+    assert cnt[0] >= 1  # row 0 plus any zero padding
+    assert not np.array_equal(rows[: len(ref)], ref)  # actually shuffled

@@ -162,3 +162,99 @@ def test_slim_transfer_rejected_for_csv(tmp_path):
             embedding_size=4, deep_layers="8,4", dropout="1.0,1.0",
             slim_transfer=True, model_dir=str(tmp_path), dt_dir="x",
         ))
+
+
+def test_coo_counts_compression_roundtrip():
+    """Round 5 (VERDICT r4 item 4): MHC_DEST replaced by per-(field,row)
+    counts; decode rebuilds idx/dest/w BIT-EXACT including pad slots."""
+    from tf_repos_tpu.data.slim_wire import MHC_CNT
+    from tf_repos_tpu.data.sparse_batch import MHC_DEST
+
+    cfg = Config(model="ESMM", feature_size=400, field_size=11,
+                 embedding_size=4, deep_layers="8,4", dropout="1.0,1.0",
+                 batch_size=8, multi_hot_pad=4)
+    model = create_model(cfg)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    packer = MhCooPacker(model.mh_coo_groups(), n_data=2, floor=8)
+    enc = AliccpSlimEncoder(vocab=400, n_groups=len(model.mh_coo_groups()))
+    for seed in range(3):
+        b = packer(mapper(_batch(seed)))
+        ref = {k: np.asarray(v).copy() for k, v in b.items()}
+        wire = enc(dict(b))
+        assert MHC_CNT in wire and MHC_DEST not in wire
+        assert wire[MHC_CNT].dtype == np.uint16
+        assert wire[MHC_CNT].shape == (2, len(model.mh_coo_groups()), 4)
+        dec = _decode_np(wire)
+        for k in (MHC_IDX, MHC_DEST, MHC_W):
+            np.testing.assert_array_equal(dec[k], ref[k], err_msg=k)
+
+
+@pytest.mark.parametrize("bound,form", [(1 << 17, "bits"), (1 << 20, "u8")])
+def test_coo_idx_lo_hi_split_roundtrip(bound, form):
+    """idx above the u16 bound splits into u16 low bits + packed (or u8)
+    high bits; decode is bit-exact. The bound comes from the uids-array
+    SHAPE, so the form is trace-stable per bucket."""
+    from tf_repos_tpu.data.slim_wire import MHC_CNT, MHC_HI, MHC_LO
+    from tf_repos_tpu.data.sparse_batch import MHC_DEST
+
+    rng = np.random.default_rng(0)
+    nd, ngr, bs, m = 1, 3, 4, 64
+    counts = rng.integers(0, 5, size=(nd, ngr, bs))
+    dv = (np.arange(bs)[None, :] * ngr + np.arange(ngr)[:, None]).reshape(-1)
+    live = int(counts[0].sum())
+    dest = np.zeros((nd, m), np.int32)
+    dest[0, :live] = np.repeat(dv, counts[0].reshape(-1))
+    idx = np.zeros((nd, m), np.int32)
+    # include a live slot whose LOW 16 bits are zero (the u16-view trap)
+    vals = rng.integers(1, bound, size=live)
+    if live:
+        vals[0] = 1 << 16
+    idx[0, :live] = vals
+    w = (idx > 0).astype(np.float32)
+    batch = {
+        "y": np.zeros(nd * bs, np.float32),
+        "z": np.zeros(nd * bs, np.float32),
+        "__uids_emb": np.zeros(bound, np.int32),  # sets the bound
+        MHC_IDX: idx, MHC_DEST: dest, MHC_W: w,
+    }
+    enc = AliccpSlimEncoder(vocab=bound, n_groups=ngr)
+    wire = enc(dict(batch))
+    assert MHC_LO in wire and MHC_IDX not in wire and MHC_CNT in wire
+    assert wire[MHC_LO].dtype == np.uint16
+    if form == "bits":
+        assert wire[MHC_HI].shape[-1] == m // 8  # 1 bit/slot
+    else:
+        assert wire[MHC_HI].shape[-1] == m  # u8/slot
+    dec = _decode_np(wire)
+    np.testing.assert_array_equal(dec[MHC_IDX], idx)
+    np.testing.assert_array_equal(dec[MHC_DEST], dest)
+    np.testing.assert_array_equal(dec[MHC_W], w)
+
+
+def test_coo_counts_multihost_gate_and_fallback():
+    """compress_coo=False (multi-host) keeps the raw idx/dest wire; a
+    dest stream that is not field-major falls back without committing."""
+    from tf_repos_tpu.data.slim_wire import MHC_CNT
+    from tf_repos_tpu.data.sparse_batch import MHC_DEST
+
+    cfg = Config(model="ESMM", feature_size=400, field_size=11,
+                 embedding_size=4, deep_layers="8,4", dropout="1.0,1.0",
+                 batch_size=8, multi_hot_pad=4)
+    model = create_model(cfg)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    packer = MhCooPacker(model.mh_coo_groups(), n_data=1, floor=8)
+    b = packer(mapper(_batch(0)))
+    wire = AliccpSlimEncoder(
+        vocab=400, compress_coo=False, n_groups=len(model.mh_coo_groups())
+    )(dict(b))
+    assert MHC_CNT not in wire and MHC_DEST in wire
+    # scrambled dest order -> falls back (no MHC_CNT), still decodes
+    b2 = packer(mapper(_batch(1)))
+    d = np.asarray(b2[MHC_DEST]).copy()
+    nlive = int(np.flatnonzero(np.asarray(b2[MHC_IDX])[0]).max()) + 1
+    d[0, :nlive] = d[0, :nlive][::-1]  # reverse the live prefix
+    b2[MHC_DEST] = d
+    wire2 = AliccpSlimEncoder(
+        vocab=400, n_groups=len(model.mh_coo_groups())
+    )(dict(b2))
+    assert MHC_CNT not in wire2 and MHC_DEST in wire2

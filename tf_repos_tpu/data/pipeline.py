@@ -247,6 +247,13 @@ def shard_files_for_host(
     return [f for i, f in enumerate(files) if i % process_count == process_index]
 
 
+# full-row shuffle permutation cap: below this chunk size the gather is
+# cheap (libsvm [64k,39] chunks are ~20 MB); above it (padded Ali-CCP
+# [64k,512]x5 ~ 700 MB) the block-shuffle path avoids materializing
+# dead padding — see the branch comment in iter_dict_batches
+_FULL_SHUFFLE_CHUNK_BYTES = 128 << 20
+
+
 def iter_dict_batches(
     chunks,
     *,
@@ -272,10 +279,64 @@ def iter_dict_batches(
     pend = None
     for d in chunks:
         n = len(d[row_key])
-        if shuffle and n > 1:
+        row_bytes = sum(
+            int(np.asarray(v).dtype.itemsize) * int(np.prod(np.asarray(v).shape[1:], dtype=np.int64))
+            for v in d.values()
+        )
+        if shuffle and n > 1 and n * row_bytes <= _FULL_SHUFFLE_CHUNK_BYTES:
             perm = nprng.permutation(n)
             # mode="clip" selects numpy's unchecked fast gather path
             d = {k: np.take(v, perm, axis=0, mode="clip") for k, v in d.items()}
+        elif shuffle and n > B:
+            # WIDE rows (padded Ali-CCP multi-hot chunks are ~700 MB): a
+            # full row permutation materializes every padded byte and
+            # measured 217 ms/batch — the dominant host cost at the
+            # published regime. Instead permute batch-aligned row BLOCKS
+            # with a fresh random phase per chunk: blocks stay zero-copy
+            # memmap views (downstream bucketer/packer only touch live
+            # widths), batch COMPOSITION still changes across epochs
+            # (phase + block order + file order + chunk boundaries), and
+            # within-batch order is irrelevant to the summed gradient.
+            # The reference's own window is 256 samples (shuffle(256),
+            # DeepFM.py:74) — block mixing at B >= 4096 is no weaker.
+            phase = int(nprng.integers(0, B))
+            nb = (n - phase) // B
+            if nb > 0:
+                order = nprng.permutation(nb)
+                head = {k: v[:phase] for k, v in d.items()}
+                blocks = [
+                    {
+                        k: v[phase + i * B : phase + (i + 1) * B]
+                        for k, v in d.items()
+                    }
+                    for i in order
+                ]
+                tail = {k: v[phase + nb * B :] for k, v in d.items()}
+                for piece in [head] + blocks + [tail]:
+                    m = len(piece[row_key])
+                    if m == 0:
+                        continue
+                    if pend is not None and len(pend[row_key]):
+                        take = min(B - len(pend[row_key]), m)
+                        pend = {
+                            k: np.concatenate([pend[k], piece[k][:take]])
+                            for k in piece
+                        }
+                        if len(pend[row_key]) == B:
+                            yield emit(pend)
+                            pend = None
+                        piece = {k: v[take:] for k, v in piece.items()}
+                        m -= take
+                        if m == 0:
+                            continue
+                    nf = m // B
+                    for i in range(nf):
+                        yield emit(
+                            {k: v[i * B : (i + 1) * B] for k, v in piece.items()}
+                        )
+                    if m % B:
+                        pend = {k: v[nf * B :] for k, v in piece.items()}
+                continue
         start = 0
         if pend is not None and len(pend[row_key]):
             take = min(B - len(pend[row_key]), n)

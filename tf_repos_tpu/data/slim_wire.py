@@ -148,18 +148,46 @@ ALICCP_ID_FIELDS = (
 )
 _U16_MAX = np.iinfo(np.uint16).max
 
+# COO-triplet compression keys (round 5, VERDICT r4 item 4): at the
+# published length regime the wire is ~1.9 KB/example and nearly all of
+# it is the (idx int32, dest int32->u16) COO stream at a 131k uids
+# bucket. Both halves compress exactly:
+#   * idx splits into __mhc_lo (u16 low bits) + __mhc_hi (the 17th bit,
+#     np.packbits -> 1 bit/slot) while the bucket fits 2^17; u8 high
+#     byte up to 2^24 — 4 B/slot -> 2.125 B (resp. 3 B);
+#   * dest is DETERMINED by the per-(field,row) live counts: the packer
+#     (data/sparse_batch.MhCooPacker) emits slots field-major with rows
+#     ascending, so dest = repeat(dest_val, counts) where
+#     dest_val[g, r] = r * n_groups + g — ship __mhc_cnt u16[nd, G, B]
+#     (~40 KB) instead of dest (2.6 MB at M=1.3M), rebuilt on device
+#     with jnp.repeat(total_repeat_length=M). Validated against the
+#     actual dest on every batch; hard error if the packer order ever
+#     drifts.
+# Single-process only: GlobalUidsUnion rewrites idx values/pads shapes
+# after this encoder would have split them.
+MHC_LO = "__mhc_lo"
+MHC_HI = "__mhc_hi"
+MHC_CNT = "__mhc_cnt"
+
 
 class AliccpSlimEncoder:
     """Host-side Ali-CCP slim encoder (prefetch thread; runs AFTER the
     dedup mapper and the --mh_coo packer, whose outputs it narrows).
 
-    vocab: the id bound for non-mapped batches (cfg.feature_size)."""
+    vocab: the id bound for non-mapped batches (cfg.feature_size).
+    compress_coo: split the COO idx into lo/hi and replace dest with
+    per-(field,row) counts (see module comment); disable under
+    multi-host, where GlobalUidsUnion must rewrite the raw idx."""
 
-    def __init__(self, vocab: int):
+    def __init__(self, vocab: int, compress_coo: bool = True,
+                 n_groups: int = 0):
         self.vocab = int(vocab)
+        self.compress_coo = bool(compress_coo)
+        self.n_groups = int(n_groups)
         self._drop: Optional[Dict[str, bool]] = None
         self._drop_w: Optional[bool] = None
         self._narrow_dest: Optional[bool] = None
+        self._cnt_ok: Optional[bool] = None
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_IDX, MHC_W
@@ -216,12 +244,75 @@ class AliccpSlimEncoder:
             if uids_keys
             else self.vocab
         )
+        # ---- dest -> per-(field,row) counts, BEFORE the idx split (the
+        # raw idx's nonzero prefix is the exact live-slot extent)
+        if (
+            self.compress_coo
+            and self.n_groups > 0
+            and MHC_DEST in batch
+            and MHC_IDX in batch
+            and "y" in batch
+        ):
+            dest = np.asarray(batch[MHC_DEST])
+            idx_raw = np.asarray(batch[MHC_IDX])
+            ngr = self.n_groups
+            nd = dest.shape[0]
+            bs = int(np.asarray(batch["y"]).shape[0]) // max(nd, 1)
+            ok = bs * nd == int(np.asarray(batch["y"]).shape[0])
+            cnts = np.zeros((nd, ngr, bs), np.uint16)
+            dv = (
+                np.arange(bs, dtype=np.int64)[None, :] * ngr
+                + np.arange(ngr, dtype=np.int64)[:, None]
+            ).reshape(-1)
+            for s in range(nd if ok else 0):
+                nz = np.flatnonzero(idx_raw[s])
+                nlive = int(nz.max(initial=-1)) + 1
+                d = dest[s, :nlive].astype(np.int64)
+                key = (d % ngr) * bs + d // ngr
+                c = np.bincount(key, minlength=ngr * bs)
+                if (
+                    np.any(np.diff(key) < 0)
+                    or c.max(initial=0) > _U16_MAX
+                    or c.size != ngr * bs
+                    or not np.array_equal(np.repeat(dv, c), d)
+                    or np.any(dest[s, nlive:])
+                ):
+                    ok = False
+                    break
+                cnts[s] = c.astype(np.uint16).reshape(ngr, bs)
+            if self._cnt_ok is None:
+                self._cnt_ok = ok
+            if self._cnt_ok:
+                if not ok:
+                    raise ValueError(
+                        "--slim_transfer: the COO dest stream stopped "
+                        "matching the packer's field-major order mid-run "
+                        "(first batch committed the counts form); "
+                        "disable --slim_transfer"
+                    )
+                batch[MHC_CNT] = cnts
+                del batch[MHC_DEST]
         if bound <= _U16_MAX:
             for f in ALICCP_ID_FIELDS:
                 if f in batch:
                     batch[f] = np.asarray(batch[f]).astype(np.uint16)
             if MHC_IDX in batch:
                 batch[MHC_IDX] = np.asarray(batch[MHC_IDX]).astype(np.uint16)
+        elif self.compress_coo and MHC_IDX in batch:
+            # lo/hi split (module comment): the bound is part of the
+            # batch SHAPE (uids bucket), so the chosen form is
+            # trace-stable per bucket
+            idx = np.asarray(batch[MHC_IDX])
+            if bound <= (1 << 17):
+                batch[MHC_LO] = (idx & 0xFFFF).astype(np.uint16)
+                batch[MHC_HI] = np.packbits(
+                    (idx >> 16).astype(np.uint8), axis=-1
+                )
+                del batch[MHC_IDX]
+            elif bound <= (1 << 24):
+                batch[MHC_LO] = (idx & 0xFFFF).astype(np.uint16)
+                batch[MHC_HI] = (idx >> 16).astype(np.uint8)
+                del batch[MHC_IDX]
         if MHC_DEST in batch:
             dest = np.asarray(batch[MHC_DEST])
             if self._narrow_dest is None:
@@ -238,12 +329,34 @@ def decode_aliccp_batch(batch: Batch) -> Batch:
     arrays widen to int32, absent vals rebuild as the live mask, the
     label alias rebuilds from y — full (non-slim) batches pass through
     unchanged."""
-    from tf_repos_tpu.data.sparse_batch import MHC_IDX, MHC_W
+    from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_IDX, MHC_W
 
     out = {
         k: (v.astype(jnp.int32) if v.dtype == jnp.uint16 else v)
         for k, v in batch.items()
     }
+    if MHC_LO in out:
+        lo = out.pop(MHC_LO)
+        hi = out.pop(MHC_HI)
+        m = lo.shape[-1]
+        if hi.shape[-1] != m:  # bit-packed 17th bit
+            hi = jnp.unpackbits(hi, axis=-1, count=m)
+        out[MHC_IDX] = lo | (hi.astype(jnp.int32) << 16)
+    if MHC_CNT in out:
+        cnt = out.pop(MHC_CNT).astype(jnp.int32)  # [nd, ngr, bs]
+        nd, ngr, bs = cnt.shape
+        m = out[MHC_IDX].shape[-1]
+        dv = (
+            jnp.arange(bs, dtype=jnp.int32)[None, :] * ngr
+            + jnp.arange(ngr, dtype=jnp.int32)[:, None]
+        ).reshape(-1)
+
+        def one(c):
+            cf = c.reshape(-1)
+            d = jnp.repeat(dv, cf, total_repeat_length=m)
+            return jnp.where(jnp.arange(m) < jnp.sum(cf), d, 0)
+
+        out[MHC_DEST] = jax.vmap(one)(cnt)
     for f in ALICCP_VAL_GROUPS:
         if f + "ids" in out and f + "vals" not in out:
             out[f + "vals"] = (out[f + "ids"] > 0).astype(jnp.float32)
@@ -254,11 +367,14 @@ def decode_aliccp_batch(batch: Batch) -> Batch:
     return out
 
 
-def aliccp_encoding_batches(it, vocab: int):
+def aliccp_encoding_batches(it, vocab: int, compress_coo: bool = True,
+                            n_groups: int = 0):
     """Wrap a batch iterator with the Ali-CCP slim encoder (one encoder
     per iterator: the droppable-vals contract is committed on the first
     batch and enforced afterwards)."""
-    enc = AliccpSlimEncoder(vocab)
+    enc = AliccpSlimEncoder(
+        vocab, compress_coo=compress_coo, n_groups=n_groups
+    )
     for b in it:
         yield enc(b)
 

@@ -63,7 +63,9 @@ class SparseBatchMapper:
 
     def _s_pad(self, name: str, vocab: int, total_slots: int, uniq: int) -> int:
         if self.pad_mode == "max":
-            return min(total_slots + 1, vocab)
+            # uniq can exceed total_slots+1 when the static-prefix seed
+            # is larger than the batch's id count (tiny packed batches)
+            return min(max(total_slots + 1, uniq), vocab)
         # quarter-pow2 ladder (round 4, see quarter_pow2): every
         # S_pad-proportional device op — the optimizer leg's vocab-row
         # gathers/scatters above all — pays for PADDED rows, and pow2
@@ -86,7 +88,22 @@ class SparseBatchMapper:
             remap = self._remap[name]
             seen.fill(False)
 
-            fields = [np.asarray(batch[f]) for f in slot.fields]
+            # packer-first ordering (round 5): MhCooPacker may run
+            # BEFORE this mapper, consuming the padded multi-hot fields
+            # and leaving their LIVE ids in the COO idx stream — dedup
+            # then scans ~live ids instead of every padded slot
+            # (7.6M -> 1.3M at the published ESMM point, the mapper was
+            # 189 ms/batch of the host chain). The unique set is
+            # IDENTICAL: dead padding slots carry id 0, which is always
+            # seeded. Fields absent from the batch are the packed ones;
+            # the COO idx array joins this slot's remap set when any of
+            # its fields were packed.
+            present = [f for f in slot.fields if f in batch]
+            fields = [np.asarray(batch[f]) for f in present]
+            extra = []
+            if MHC_IDX in batch and len(present) < len(slot.fields):
+                extra = [MHC_IDX]
+                fields.append(np.asarray(batch[MHC_IDX]))
             ids = np.concatenate([a.ravel() for a in fields])
             # id 0 (the reserved padding row) is always in the unique set;
             # u is ascending, so 0 keeps position 0 and the models'
@@ -105,7 +122,7 @@ class SparseBatchMapper:
             uids = np.full(s_pad, vocab, np.int32)
             uids[: u.size] = u
             batch[UIDS_PREFIX + name] = uids
-            for f, arr in zip(slot.fields, fields):
+            for f, arr in zip(present + extra, fields):
                 batch[f] = np.take(remap, arr, mode="clip")
         return batch
 
@@ -203,8 +220,12 @@ class MhCooPacker:
     ~85-90% of slots are dead padding (true lengths ~4-8). The reference
     never paid this: tf.nn.embedding_lookup_sparse consumes COO sp_ids
     (DeepCvrMTL.py:152-164). This packer restores that form on the host
-    (prefetch thread, after SparseBatchMapper so idx are remapped
-    positions and `id 0 <-> position 0` holds):
+    (prefetch thread). It may run BEFORE or AFTER SparseBatchMapper —
+    liveness is `id > 0` either way (raw id 0 is the reserved padding
+    row; remapped position 0 is id 0's row). Packer-FIRST is the fast
+    order (round 5): the mapper then dedups the live COO idx stream
+    instead of every padded slot and remaps __mhc_idx in place; the
+    resulting batches are bit-identical (tested). Output:
 
       __mhc_idx  int32[n_data, M_pad]  table row (remapped position)
       __mhc_dest int32[n_data, M_pad]  pooled row = b_local * n_groups + g

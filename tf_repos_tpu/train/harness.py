@@ -450,6 +450,7 @@ class Harness:
             )
         ds = self._build_reader(files, fmt, shuffle=shuffle, epochs=epochs)
         chain_factories = []
+        slim_in_chain = False
         if self._mh_bucket_pairs is not None and (
             split in ("tr", "va") or jax.process_count() == 1
         ):
@@ -468,19 +469,20 @@ class Harness:
             pairs, mode = self._mh_bucket_pairs, cfg.mh_bucket
             chain_factories.append(lambda: MhPadBucketer(pairs, mode))
         if split == "tr" and self._sparse_slots is not None:
-            # dedup + remap on the host, pipelined with TPU compute by the
-            # prefetch thread (train/sparse.py step consumes __uids_*)
             from tf_repos_tpu.data.sparse_batch import SparseBatchMapper
 
             slots, pad_mode = self._sparse_slots, cfg.sparse_pad_mode
-            chain_factories.append(
-                lambda: SparseBatchMapper(slots, pad_mode=pad_mode)
-            )
             if self._mh_coo_groups is not None:
-                # after the mapper: the COO idx are remapped positions;
-                # one COO slice per LOCAL data shard (dest local to the
+                # packer BEFORE the mapper (round 5): the packer needs
+                # only raw-id liveness (ids > 0), and the mapper then
+                # dedups/remaps the LIVE COO idx stream instead of
+                # every padded slot — the mapper leg measured
+                # 189 -> ~35 ms/batch at the published ESMM point
+                # (batches are bit-identical either way; the mapper
+                # picks up __mhc_idx as the packed fields' id source).
+                # One COO slice per LOCAL data shard (dest local to the
                 # shard; this host's loader batch covers only its own
-                # slice of the data axis)
+                # slice of the data axis).
                 from tf_repos_tpu.data.sparse_batch import MhCooPacker
                 from tf_repos_tpu.parallel.step import DATA_AXIS
 
@@ -494,6 +496,29 @@ class Harness:
                 chain_factories.append(
                     lambda: MhCooPacker(groups, n_data=n_data)
                 )
+            # dedup + remap on the host, pipelined with TPU compute by the
+            # prefetch thread (train/sparse.py step consumes __uids_*)
+            chain_factories.append(
+                lambda: SparseBatchMapper(slots, pad_mode=pad_mode)
+            )
+            if cfg.slim_transfer and cfg.map_workers > 1 and (
+                jax.process_count() == 1
+            ):
+                # fold the slim encoder into the worker pool too (its
+                # serial leg measured ~23 ms/batch at the published
+                # point); single-process only — multi-host keeps the
+                # encoder after GlobalUidsUnion-compatible ordering
+                if input_format(self.model) == "aliccp":
+                    from tf_repos_tpu.data.slim_wire import AliccpSlimEncoder
+
+                    vocab = cfg.feature_size
+                    ngr = len(self._mh_coo_groups or ())
+                    chain_factories.append(
+                        lambda: AliccpSlimEncoder(
+                            vocab, compress_coo=True, n_groups=ngr
+                        )
+                    )
+                    slim_in_chain = True
         if chain_factories:
             from tf_repos_tpu.data.sparse_batch import mapped_batches
 
@@ -522,7 +547,7 @@ class Harness:
             else:
                 for f in chain_factories:
                     ds = mapped_batches(ds, f())
-        if cfg.slim_transfer:
+        if cfg.slim_transfer and not slim_in_chain:
             ds = self._slim_wrap(ds)
         it: Iterable = Prefetcher(ds, size=cfg.prefetch_batches)
         if jax.process_count() > 1:
@@ -605,8 +630,13 @@ class Harness:
                 rules[UIDS_PREFIX + t] = s.vocab
         if self._mh_coo_groups is not None:
             from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_IDX, MHC_W
+            from tf_repos_tpu.data.slim_wire import MHC_HI, MHC_LO
 
-            rules.update({MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0})
+            rules.update({
+                MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0,
+                # compressed-wire forms (encoder inside the worker pool)
+                MHC_LO: 0, MHC_HI: 0,
+            })
         if self._mh_bucket_pairs is not None:
             for ids_f, vals_f in self._mh_bucket_pairs:
                 rules[ids_f] = 0
@@ -686,8 +716,14 @@ class Harness:
 
         def run_group(state, rng, batches):
             """Dispatch len(batches) steps: one scan dispatch for a full
-            K-group, per-batch single steps for the tail."""
-            if multi_step is not None and len(batches) == K:
+            K-group, per-batch single steps for the tail — or for a
+            group whose batches changed WIRE FORM mid-group (the slim
+            COO idx split engages when the uids bucket crosses 2^16,
+            changing the key set; happens at most once per run)."""
+            same_keys = all(
+                set(b) == set(batches[0]) for b in batches[1:]
+            )
+            if multi_step is not None and len(batches) == K and same_keys:
                 rng, sub = jax.random.split(rng)
                 sentinels = None
                 if self._mh_bucket_pairs is not None:
@@ -709,13 +745,19 @@ class Harness:
                     })
                     if self._mh_coo_groups is not None:
                         # COO buckets may also grow mid-group; zero
-                        # padding (idx=dest=0, w=0) adds exactly zero
+                        # padding (idx=dest=0, w=0 — and for the
+                        # compressed wire lo=hi=0, which decodes to
+                        # idx 0) adds exactly zero
                         from tf_repos_tpu.data.sparse_batch import (
                             MHC_DEST, MHC_IDX, MHC_W,
                         )
+                        from tf_repos_tpu.data.slim_wire import (
+                            MHC_HI, MHC_LO,
+                        )
 
                         sentinels.update(
-                            {MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0}
+                            {MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0,
+                             MHC_LO: 0, MHC_HI: 0}
                         )
                     if self._uids_union is not None:
                         # per-batch global uid union BEFORE stacking, in
