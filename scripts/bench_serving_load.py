@@ -66,14 +66,18 @@ def _ensure_servable(tmp: str, vocab: int, small: bool) -> str:
     return cfg.servable_model_dir
 
 
-def _client_loop(send, stop_at, lats, errs):
+def _client_loop(send, stop_at, lats, errs, sheds):
     while time.perf_counter() < stop_at:
         t0 = time.perf_counter()
         try:
             send()
             lats.append((time.perf_counter() - t0) * 1e3)
-        except Exception:
-            errs.append(1)
+        except Exception as e:
+            msg = str(e)
+            if "429" in msg or "RESOURCE_EXHAUSTED" in msg or "backlog" in msg:
+                sheds.append(1)  # shed: client should back off + retry
+            else:
+                errs.append(1)
 
 
 def main(argv=None):
@@ -93,7 +97,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    from tf_repos_tpu.serve.grpc_server import grpc_predict
+    from tf_repos_tpu.serve.grpc_server import GrpcPredictClient
     from tf_repos_tpu.serve.example_proto import encode_example
     from tf_repos_tpu.serve.server import PredictionServer
 
@@ -135,10 +139,18 @@ def main(argv=None):
     def send_example():
         send_rest(ex_body)
 
+    # ONE persistent channel per client thread (round-5 fix: the round-4
+    # curve drove a fresh channel per request and measured the TCP+HTTP/2
+    # handshake, ~113 req/s, not the server)
+    _tls = threading.local()
+
     def send_grpc():
-        out, _, _ = grpc_predict(
-            "127.0.0.1", srv.grpc_port, grpc_inputs, model
-        )
+        c = getattr(_tls, "grpc", None)
+        if c is None:
+            c = _tls.grpc = GrpcPredictClient(
+                "127.0.0.1", srv.grpc_port, model
+            )
+        out, _, _ = c.predict(grpc_inputs)
         assert out["prob"].shape[0] == a.per_req
 
     senders = {"rest": send_rest, "grpc": send_grpc, "example": send_example}
@@ -149,11 +161,11 @@ def main(argv=None):
         send = senders[proto]
         send()  # warm the compile/bucket caches outside timing
         for c in levels:
-            lats, errs = [], []
+            lats, errs, sheds = [], [], []
             stop_at = time.perf_counter() + a.duration
             threads = [
                 threading.Thread(
-                    target=_client_loop, args=(send, stop_at, lats, errs)
+                    target=_client_loop, args=(send, stop_at, lats, errs, sheds)
                 )
                 for _ in range(c)
             ]
@@ -170,12 +182,14 @@ def main(argv=None):
             cell = {
                 "requests": len(lats),
                 "errors": len(errs),
+                "shed": len(sheds),
                 "req_per_s": round(len(lats) / wall, 1),
                 "examples_per_s": round(len(lats) * a.per_req / wall, 1),
                 "p50_ms": round(float(np.median(lat)), 2),
                 "p99_ms": round(float(np.percentile(lat, 99)), 2),
                 "batch_occupancy_mean": stats.get("n", {}).get("mean", 1.0),
                 "device_ms_p50": stats.get("device_ms", {}).get("p50"),
+                "shed_total": stats.get("shed", 0),
             }
             results[f"{proto}_c{c}"] = cell
             print(json.dumps({f"{proto}_c{c}": cell}), flush=True)

@@ -47,6 +47,8 @@ def make_grpc_server(
                 grpc.StatusCode.NOT_FOUND,
                 f"model {name!r} not found (serving {model_name!r})",
             )
+        from tf_repos_tpu.serve.server import OverloadedError
+
         try:
             names = list(scorer.signature["inputs"].keys())
             instances = instances_from_inputs(inputs, names)
@@ -54,6 +56,10 @@ def make_grpc_server(
             return encode_predict_response(
                 out, model_name, version=int(scorer.version)
             )
+        except OverloadedError as e:
+            # fast-fail shed (bounded micro-batcher backlog) — the
+            # TF-Serving overload status
+            context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED, str(e))
         except Exception as e:  # surface as INVALID_ARGUMENT, like TF-Serving
             context.abort(
                 grpc.StatusCode.INVALID_ARGUMENT, f"{type(e).__name__}: {e}"
@@ -75,6 +81,48 @@ def make_grpc_server(
     return server, bound
 
 
+class GrpcPredictClient:
+    """Persistent-channel PredictionService client — the form a real
+    client (including the reference's C++ ServingClient, which holds one
+    stub for its whole run, deep_fm_serving_client.cpp:35-40) uses.
+
+    The round-4 load bench drove gRPC through per-request channels
+    (grpc_predict below) and measured a ~113 req/s ceiling with p50
+    growing linearly in client count — that was TCP+HTTP/2 channel SETUP
+    serialization, not the server: with one channel per client thread
+    the transport saturates with REST (see PERF.md serving-load)."""
+
+    def __init__(self, host: str, port: int, model_name: str,
+                 signature_name: str = "serving_default"):
+        self.model_name = model_name
+        self.signature_name = signature_name
+        self._ch = grpc.insecure_channel(f"{host}:{port}")
+        self._call = self._ch.unary_unary(f"/{SERVICE}/Predict")
+
+    def predict(self, inputs, timeout: float = 30.0):
+        from tf_repos_tpu.serve.predict_proto import (
+            decode_predict_response,
+            encode_predict_request,
+        )
+
+        resp = self._call(
+            encode_predict_request(
+                inputs, self.model_name, self.signature_name
+            ),
+            timeout=timeout,
+        )
+        return decode_predict_response(resp)
+
+    def close(self):
+        self._ch.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
 def grpc_predict(
     host: str,
     port: int,
@@ -83,17 +131,8 @@ def grpc_predict(
     signature_name: str = "serving_default",
     timeout: float = 30.0,
 ):
-    """Minimal raw-bytes gRPC client (tests / CLI probes): the same call
-    the reference's ServingClient::callPredict makes."""
-    from tf_repos_tpu.serve.predict_proto import (
-        decode_predict_response,
-        encode_predict_request,
-    )
-
-    with grpc.insecure_channel(f"{host}:{port}") as ch:
-        call = ch.unary_unary(f"/{SERVICE}/Predict")
-        resp = call(
-            encode_predict_request(inputs, model_name, signature_name),
-            timeout=timeout,
-        )
-    return decode_predict_response(resp)
+    """One-shot raw-bytes gRPC call (tests / CLI probes) — opens and
+    tears down a channel PER CALL; use GrpcPredictClient for anything
+    latency- or throughput-sensitive."""
+    with GrpcPredictClient(host, port, model_name, signature_name) as c:
+        return c.predict(inputs, timeout=timeout)

@@ -52,13 +52,28 @@ class _Pending:
         self.error: Optional[str] = None
 
 
+class OverloadedError(RuntimeError):
+    """Queue admission rejected the request (bounded micro-batcher
+    backlog). Transports map this to a FAST retryable signal — HTTP 429
+    / gRPC RESOURCE_EXHAUSTED — the way TF Serving sheds load, instead
+    of letting p99 grow without bound past the saturation knee (measured
+    1.1-1.3 s at c16-64 before the cap, PERF.md serving-load)."""
+
+
 class MicroBatcher:
     """Coalesces concurrent predict requests into one scored batch."""
 
-    def __init__(self, scorer: Scorer, max_batch: int = 512, max_wait_ms: float = 2.0):
+    def __init__(self, scorer: Scorer, max_batch: int = 512, max_wait_ms: float = 2.0,
+                 max_queued: int = 8192):
         self.scorer = scorer
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        # admission control: at most max_queued EXAMPLES waiting (~16
+        # full batches at the default 512); 0 disables the cap
+        self.max_queued = max_queued
+        self.shed = 0  # rejected requests, surfaced via GET /stats
+        self._queued = 0
+        self._qlock = threading.Lock()
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         self.timings: list = []  # rolling window for GET /stats
         self._stop = threading.Event()
@@ -66,6 +81,15 @@ class MicroBatcher:
         self.thread.start()
 
     def submit(self, instances: List[Dict[str, Any]], timeout: float = 30.0):
+        n = len(instances)
+        with self._qlock:
+            if self.max_queued and self._queued + n > self.max_queued:
+                self.shed += 1
+                raise OverloadedError(
+                    f"micro-batcher backlog full ({self._queued} queued, "
+                    f"cap {self.max_queued}); retry later"
+                )
+            self._queued += n
         p = _Pending(instances)
         self.q.put(p)
         if not p.event.wait(timeout):
@@ -97,6 +121,8 @@ class MicroBatcher:
                     break
                 group.append(nxt)
                 total += len(nxt.instances)
+            with self._qlock:
+                self._queued -= total
             flat = [inst for p in group for inst in p.instances]
             try:
                 t0 = time.perf_counter()
@@ -130,9 +156,12 @@ class PredictionServer:
         max_wait_ms: float = 2.0,
         reload_secs: float = 30.0,
         grpc_port: int = -1,  # >=0: also serve gRPC (0 = ephemeral port)
+        max_queued: int = 8192,
     ):
         self.scorer = Scorer(servable_dir)
-        self.batcher = MicroBatcher(self.scorer, max_batch, max_wait_ms)
+        self.batcher = MicroBatcher(
+            self.scorer, max_batch, max_wait_ms, max_queued=max_queued
+        )
         self.model_name = self.scorer.signature["model"]
         self.grpc_server = None
         self.grpc_port = None
@@ -182,6 +211,8 @@ class PredictionServer:
                                 "p99": round(float(_np.percentile(v, 99)), 3),
                                 "mean": round(float(_np.mean(v)), 3),
                             }
+                    agg["shed"] = outer.batcher.shed
+                    agg["queued"] = outer.batcher._queued
                     self._reply(200, agg)
                 elif self.path.startswith("/v1/models/"):
                     self._reply(
@@ -244,6 +275,12 @@ class PredictionServer:
                         out, outer.model_name, version=int(outer.scorer.version)
                     )
                     self._reply_grpc_web(msg)
+                except OverloadedError as e:
+                    self._reply_grpc_web(
+                        b"", status=8,  # RESOURCE_EXHAUSTED
+                        detail=str(e),
+                    )
+                    return
                 except Exception as e:
                     self._reply_grpc_web(
                         b"", status=3,  # INVALID_ARGUMENT
@@ -298,6 +335,10 @@ class PredictionServer:
                         200,
                         {"predictions": preds, "model_version": outer.scorer.version},
                     )
+                except OverloadedError as e:
+                    # fast-fail shed: clients back off and retry (the
+                    # TF-Serving overload contract)
+                    self._reply(429, {"error": str(e)})
                 except Exception as e:
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -357,10 +398,15 @@ def main(argv=None):
         "--grpc_port", type=int, default=8500,
         help="gRPC PredictionService port (TF-Serving's default); -1 disables",
     )
+    p.add_argument(
+        "--max_queued", type=int, default=8192,
+        help="admission cap: max examples waiting in the micro-batcher "
+        "(fast 429/RESOURCE_EXHAUSTED beyond it); 0 = unbounded",
+    )
     a = p.parse_args(argv)
     srv = PredictionServer(
         a.servable_model_dir, a.host, a.port, a.max_batch, a.max_wait_ms,
-        a.reload_secs, grpc_port=a.grpc_port,
+        a.reload_secs, grpc_port=a.grpc_port, max_queued=a.max_queued,
     )
     grpc_note = f" grpc :{srv.grpc_port}" if srv.grpc_port is not None else ""
     print(f"serving {srv.model_name} v{srv.scorer.version} on :{srv.port}{grpc_note}")
