@@ -32,8 +32,12 @@ def make_grpc_server(
     batcher,
     host: str = "127.0.0.1",
     port: int = 8500,
-    workers: int = 8,
+    workers: int = 64,
 ):
+    # workers bounds in-flight RPCs (each parks in batcher.submit); 8
+    # capped gRPC at ~153 req/s while REST's unbounded thread pool
+    # reached 223 at c64 through the dev tunnel — admission control is
+    # the batcher queue cap's job (OverloadedError), not the RPC pool's
     """-> (grpc.Server, bound_port). Caller owns start()/stop()."""
 
     def predict(request_bytes: bytes, context) -> bytes:
