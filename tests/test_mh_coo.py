@@ -400,14 +400,16 @@ def _din_cfg(**kw):
 
 @pytest.mark.parametrize("attention", [True, False])
 def test_din_coo_apply_matches_padded(attention):
-    """DIN --mh_coo: all 5 multi-hot groups pack. Sum-pools ride the COO
-    segment pool; attention runs its MLP over the LIVE slots only — both
-    must equal the padded formulation exactly (dead slots contribute 0
-    to the masked weighted sum)."""
+    """DIN --mh_coo: the 4 USER multi-hot groups pack (a_int stays
+    padded since round 5 — its plain sum combiner rides the shared
+    gather, so packing it only bought a full-M scatter). Sum-pools ride
+    the COO segment pool; attention runs its MLP over the LIVE slots
+    only — both must equal the padded formulation exactly (dead slots
+    contribute 0 to the masked weighted sum)."""
     cfg = _din_cfg(attention_pooling=attention)
     model = create_model(cfg)
     groups = model.mh_coo_groups()
-    assert len(groups) == 5
+    assert len(groups) == 4
     params, state = model.init(jax.random.PRNGKey(0))
     packer = MhCooPacker(groups)
     for b in _aliccp_batches(cfg, 2, pad=8, seed0=50):
@@ -415,8 +417,9 @@ def test_din_coo_apply_matches_padded(attention):
         # remap-agnostic (idx values index whatever table apply() gets)
         full = dict(b)
         packed = packer(dict(full))
-        for f in ("u_cat", "u_shop", "u_brand", "u_int", "a_int"):
-            assert f + "ids" not in packed  # every group rides the COO
+        for f in ("u_cat", "u_shop", "u_brand", "u_int"):
+            assert f + "ids" not in packed  # every user group rides the COO
+        assert "a_intids" in packed  # a_int stays padded (round 5)
         out_pad, _ = model.apply(params, state, full, train=False)
         out_coo, _ = model.apply(params, state, packed, train=False)
         for k in out_pad:

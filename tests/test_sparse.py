@@ -450,6 +450,10 @@ def test_stack_batches_pads_grown_uids():
         # fused_table + per-row moment catch-up (the [V] last-touched
         # array shards over "model" like every other row-aux array)
         ((4, 2), "table_catchup"),
+        # fused_table + DMA write-back: the lane-padded [V_local, L]
+        # storage and the per-row DMA scatter must shard like the plain
+        # fused layout (interpret-mode kernel on the CPU mesh)
+        ((2, 4), "table_dma"),
     ],
 )
 def test_sharded_sparse_matches_single_chip(mesh_shape, layout):
@@ -467,6 +471,7 @@ def test_sharded_sparse_matches_single_chip(mesh_shape, layout):
     fused = layout == "moments"
     fused_table = layout.startswith("table")
     catchup = layout.endswith("catchup")
+    dma = layout.endswith("dma")
     cfg = _cfg(optimizer="Adam", learning_rate=0.01, l2_reg=1e-4, feature_size=301)
     model = create_model(cfg)
     tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
@@ -476,7 +481,7 @@ def test_sharded_sparse_matches_single_chip(mesh_shape, layout):
 
     sopt1 = SP.make_sparse_row_optimizer(
         "Adam", 0.01, fused_moments=fused, fused_table=fused_table,
-        catchup=catchup,
+        catchup=catchup, dma_scatter=dma,
     )
     params, mstate = model.init(jax.random.PRNGKey(7))
     o1 = SP.init_opt_state(model, tx, sopt1, params)
@@ -489,7 +494,7 @@ def test_sharded_sparse_matches_single_chip(mesh_shape, layout):
     mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
     sopt2 = SP.make_sparse_row_optimizer(
         "Adam", 0.01, fused_moments=fused, sorted_indices=False,
-        fused_table=fused_table, catchup=catchup,
+        fused_table=fused_table, catchup=catchup, dma_scatter=dma,
     )
     st = ShardedSparseState(model, tx, sopt2, mesh)
     state, specs = st.init(jax.random.PRNGKey(7))

@@ -56,9 +56,19 @@ USER_FIELDS = ("u_cat", "u_shop", "u_brand", "u_int")
 # is a (small) padding artifact, as is the reference's own inclusion of
 # sparse_tensor_to_dense rows beyond each sample's length
 # (DIN.py:152-173) — neither is a semantic.
+#
+# a_int is NOT packed (round 5): its only pooled use is the plain sum
+# combiner (DIN.py:148) feeding the u_int attention query and the tower
+# concat — computed directly from the padded a_intids block of the
+# SHARED gather (a masked einsum, identical math to the padded branch).
+# Packing it forced a full-M segment scatter whose only consumer was
+# that one [B,K] vector (a_int slots carried mult=1 through the
+# attention pool anyway); dropping it removes that scatter + its
+# backward gather and shrinks the COO bucket ~10% (the step
+# decomposition showed the per-slot scatter/gather chain, not the MLP,
+# dominating — scripts/bench_din_decomp.py).
 MH_COO_GROUPS = (
     ("u_cat", True), ("u_shop", True), ("u_brand", True), ("u_int", True),
-    ("a_int", False),
 )
 
 
@@ -189,43 +199,36 @@ class DIN(CtrModel):
             idxf = batch[MHC_IDX].reshape(-1)
             destf = batch[MHC_DEST].reshape(-1)
             wf = batch[MHC_W].reshape(-1)
+            # a_int: plain sum combiner over the padded a_intids block
+            # of the SHARED gather (DIN.py:148) — same math as the
+            # padded branch; keeping it out of the COO stream removes a
+            # full-M segment scatter whose only consumer was this [B,K]
+            # vector (see MH_COO_GROUPS comment)
+            int_mask = (batch["a_intids"] > 0).astype(common.dtype)
+            a_int = jnp.einsum("bpk,bp->bk", rows[:, off:], int_mask)
             if cfg.attention_pooling:
                 # attention over LIVE slots: per live slot j with group
                 # g = dest[j] % ng, score MLP([d, d - a_g, a_g]) where
                 # d = w[j] * emb[idx[j]] — exactly DIN.py:152-173 with the
                 # dead padded positions skipped (they contribute 0 to the
-                # masked weighted sum either way). a_int slots pass
-                # through with weight 1 (the reference's plain sum).
+                # masked weighted sum either way).
                 #
                 # ONE gather feeds everything: d_rows is reused for the
-                # plain sums (ad pairing + a_int), the MLP input, AND the
-                # attention-weighted pool — measured round 4 at the
-                # published point, the naive form (three emb_t[idx]
-                # gathers: sums pool, d_rows, weighted pool) pays three
-                # [S,K]-scatter backward passes where this pays ONE
-                # accumulate through `lookup` (the lane-packed Pallas
-                # kernel above the VMEM row cap). The segment sums
-                # differentiate through plain XLA scatter-add, whose
+                # MLP input AND the attention-weighted pool — measured
+                # round 4 at the published point, the naive form
+                # (separate emb_t[idx] gathers per use) pays a
+                # [S,K]-scatter backward pass per gather where this pays
+                # ONE accumulate through `lookup` (the lane-packed
+                # Pallas kernel above the VMEM row cap). The segment sum
+                # differentiates through plain XLA scatter-add, whose
                 # cotangent is a cheap [G,K] gather.
                 d_rows = (
                     lookup(emb_t, idxf).astype(common.dtype)
                     * wf[:, None].astype(common.dtype)
                 )
-                # f32 accumulators: ~300 live slots/row sum in bf16 would
-                # random-walk ~2^-8*sqrt(300) relative error; f32 target
-                # costs 2x scatter bytes, measured ~neutral on chip
-                sums = (
-                    jnp.zeros((b * ng, d_rows.shape[-1]), jnp.float32)
-                    .at[destf]
-                    .add(d_rows.astype(jnp.float32))
-                    .reshape(b, ng, -1)
-                    .astype(common.dtype)
-                )
-                a_int = sums[:, ng - 1]
                 # group g pairs with ad embedding: u_cat<->a_cat,
-                # u_shop<->a_shop, u_brand<->a_brand, u_int<->a_int;
-                # the trailing a_int group's pairing is unused (w stays 1)
-                ad_all = jnp.stack([a_cat, a_shop, a_brand, a_int, a_int], axis=1)
+                # u_shop<->a_shop, u_brand<->a_brand, u_int<->a_int
+                ad_all = jnp.stack([a_cat, a_shop, a_brand, a_int], axis=1)
                 a_sel = ad_all.reshape(b * ng, -1)[destf]
                 xatt = jnp.concatenate([d_rows, d_rows - a_sel, a_sel], axis=1)
                 h, new_state["att_mlp"] = T.apply_mlp(
@@ -240,9 +243,10 @@ class DIN(CtrModel):
                     compute_dtype=cfg.tower_dtype,
                 )
                 wgt = jax.nn.sigmoid(T.dense(params["att_out"], h))[:, 0]
-                mult = jnp.where(
-                    destf % ng == ng - 1, 1.0, wgt.astype(d_rows.dtype)
-                )
+                mult = wgt.astype(d_rows.dtype)
+                # f32 accumulators: ~300 live slots/row sum in bf16 would
+                # random-walk ~2^-8*sqrt(300) relative error; f32 target
+                # costs 2x scatter bytes, measured ~neutral on chip
                 att_pooled = (
                     jnp.zeros((b * ng, d_rows.shape[-1]), jnp.float32)
                     .at[destf]
@@ -257,7 +261,6 @@ class DIN(CtrModel):
                 pool = getattr(lookup, "coo_pool", xla_coo_pool)
                 sums = pool(emb_t, idxf, destf, wf, b * ng)
                 sums = sums.reshape(b, ng, -1).astype(common.dtype)
-                a_int = sums[:, ng - 1]
                 pooled = [sums[:, i] for i in range(len(USER_FIELDS))]
         else:
             int_mask = (batch["a_intids"] > 0).astype(common.dtype)

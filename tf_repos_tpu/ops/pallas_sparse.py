@@ -947,6 +947,15 @@ def dma_row_scatter(
         rows = rows.astype(table.dtype)
     vma = jax.typeof(u).vma | jax.typeof(table).vma | jax.typeof(rows).vma
     interpret, chunk, nsem = _resolve_interpret(interpret, vma, chunk, nsem)
+    if isinstance(interpret, pltpu.InterpretParams):
+        # shard_map on the CPU rig: the TPU-semantics simulator DEADLOCKS
+        # on this kernel's DMA semaphores under multi-device meshes
+        # (threads parked in interpret_pallas_call._barrier — the round-4
+        # gotcha). The kernel's semantics are exactly the drop-mode row
+        # set, so the XLA form is a bit-exact stand-in; sharded CPU tests
+        # exercise the lane-padded layout + sharding, and the real kernel
+        # is covered single-chip (generic interpreter + real TPU).
+        return table.at[u].set(rows, mode="drop", unique_indices=True)
     S = u.shape[0]
     chunk = min(chunk, _round_up(S, nsem))
     if S % chunk:

@@ -184,7 +184,7 @@ class Harness:
                 raise ValueError(
                     f"--mh_coo: {self.model.name} declares no multi-hot "
                     "groups (libsvm/csv models have no ragged fields). "
-                    "ESMM and DIN pack all 5 groups — DIN's attention MLP "
+                    "ESMM packs all 5 groups; DIN packs the 4 user groups "
                     "runs over the live COO slots (models/din.py)."
                 )
             # multi-host is handled: each host packs its LOCAL batch over
