@@ -98,12 +98,12 @@ def test_parallel_chain_content_matches_sequential():
     # three COO keys re-monotonize — with the quarter-pow2 ladder,
     # worker-local bucket divergence is common, and an idx-only rule
     # leaves dest/w at worker widths (caught when the ladder landed)
-    from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_W
+    from tf_repos_tpu.data.sparse_batch import MHC_CDEST, MHC_DEST, MHC_W
 
     par = list(parallel_mapped_batches(
         iter([dict(b) for b in raw]), _chain_factory(model), workers=3,
         pad_rules={UIDS_PREFIX + "emb": 800, MHC_IDX: 0, MHC_DEST: 0,
-                   MHC_W: 0.0},
+                   MHC_W: 0.0, MHC_CDEST: 0},
     ))
     assert len(par) == len(seq)
     for s, p in zip(seq, par):

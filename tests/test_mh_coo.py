@@ -469,3 +469,158 @@ def test_mh_coo_flag_validations(tmp_path):
                        embedding_size=4, deep_layers="8,4", dropout="1.0,1.0",
                        mh_coo=True, sparse_table_update=True,
                        model_dir=str(tmp_path), dt_dir="x"))
+
+
+# ------------------------------------------- sorted-window segment ops
+def _sorted_cdest(rng, m, g):
+    """A contract-conforming stream: nondecreasing, increments <= 1."""
+    inc = (rng.random(m) < 0.08).astype(np.int32)
+    inc[0] = 0
+    return np.minimum(np.cumsum(inc), g - 1).astype(np.int32)
+
+
+@pytest.mark.parametrize("m,g,k", [(3000, 257, 16), (700, 40, 8)])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_sorted_segsum_and_expand_match_reference(m, g, k, dtype):
+    """The windowed one-hot MXU formulation == the XLA scatter/gather,
+    across non-multiple-of-chunk lengths and both storage dtypes (the
+    bf16 kernel accumulates the exact bf16 products in f32)."""
+    rng = np.random.default_rng(0)
+    cdest = jnp.asarray(_sorted_cdest(rng, m, g))
+    vals = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32), dtype)
+    src = jnp.asarray(rng.normal(size=(g, k)).astype(np.float32), dtype)
+    got = PS.sorted_segsum(vals, cdest, g)
+    ref = PS.sorted_segsum_reference(vals, cdest, g)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(PS.sorted_expand(src, cdest)),
+        np.asarray(PS.sorted_expand_reference(src, cdest)),
+    )
+
+
+def test_make_sorted_seg_grads_match_reference():
+    """seg_pool/seg_select close both AD directions over the kernels:
+    value and grads must match the XLA formulation (f32 tolerances are
+    pure summation-order noise)."""
+    rng = np.random.default_rng(1)
+    m, g, k = 2000, 129, 16
+    cdest = jnp.asarray(_sorted_cdest(rng, m, g))
+    vals = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(g, k)).astype(np.float32))
+    pool, sel = PS.make_sorted_seg()
+
+    def f(v, s):
+        return (
+            jnp.sum(pool(v, cdest, g) ** 2)
+            + jnp.sum(sel(s, cdest).astype(jnp.float32) ** 2 * 2.0)
+        )
+
+    def fr(v, s):
+        return (
+            jnp.sum(PS.sorted_segsum_reference(v, cdest, g) ** 2)
+            + jnp.sum(
+                PS.sorted_expand_reference(s, cdest).astype(jnp.float32)
+                ** 2
+                * 2.0
+            )
+        )
+
+    gv, gs = jax.grad(f, argnums=(0, 1))(vals, src)
+    rv, rs = jax.grad(fr, argnums=(0, 1))(vals, src)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), rtol=3e-5, atol=3e-4)
+
+
+def test_packer_emits_counts_and_cdest():
+    """MHC_CNT int32[nd, ng, B] field-major live counts; MHC_CDEST the
+    matching compact segment stream: nondecreasing, increments <= 1,
+    consistent with dest (same segment boundaries), zero on pad slots."""
+    from tf_repos_tpu.data.sparse_batch import MHC_CDEST, MHC_CNT
+
+    cfg = _din_cfg()
+    model = create_model(cfg)
+    packer = MhCooPacker(model.mh_coo_groups())
+    ng = len(model.mh_coo_groups())
+    for b in _aliccp_batches(cfg, 2, pad=8, seed0=80):
+        packed = packer(dict(b))
+        cnt = packed[MHC_CNT]
+        cd = packed[MHC_CDEST]
+        bsz = b["feat_ids"].shape[0]
+        assert cnt.shape == (1, ng, bsz)
+        nlive = int(cnt.sum())
+        assert nlive == int((packed[MHC_W] != 0).sum())
+        live_cd = cd[0, :nlive]
+        d = np.diff(live_cd)
+        assert (d >= 0).all() and (d <= 1).all()
+        # compact id count == number of non-empty (field,row) pairs
+        assert live_cd[-1] + 1 == int((cnt > 0).sum())
+        # dest boundaries == cdest boundaries on the live prefix
+        dest = packed[MHC_DEST][0, :nlive]
+        np.testing.assert_array_equal(
+            np.flatnonzero(np.diff(dest) != 0),
+            np.flatnonzero(d != 0),
+        )
+        assert (cd[0, nlive:] == 0).all()
+
+
+@pytest.mark.parametrize("drop_cdest", [False, True])
+def test_din_sorted_attention_matches_padded(drop_cdest):
+    """DIN attention over the sorted-window kernels (Pallas lookup +
+    packer counts) == the padded formulation; with MHC_CDEST dropped the
+    model rebuilds the compact stream on device (the slim-wire path) and
+    must agree exactly."""
+    from tf_repos_tpu.data.sparse_batch import MHC_CDEST, MHC_CNT
+
+    cfg = _din_cfg(attention_pooling=True)
+    model = create_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    packer = MhCooPacker(model.mh_coo_groups())
+    lookup = PS.make_vmem_expand_lookup(chunk=128, unroll=8)
+    for b in _aliccp_batches(cfg, 2, pad=8, seed0=90):
+        full = dict(b)
+        packed = packer(dict(full))
+        assert MHC_CNT in packed
+        if drop_cdest:
+            del packed[MHC_CDEST]
+        jb = {k: jnp.asarray(v) for k, v in packed.items()}
+        out_pad, _ = model.apply(params, state, full, train=False)
+        out_coo, _ = model.apply(
+            params, state, jb, train=False, lookup=lookup
+        )
+        for k in out_pad:
+            np.testing.assert_allclose(
+                np.asarray(out_pad[k]), np.asarray(out_coo[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+
+
+def test_din_harness_sorted_trajectory_matches_padded(tmp_path):
+    """Full CLI-harness DIN training with --mh_coo + --pallas_expand
+    (the sorted-window attention path end-to-end, incl. the bucket-pad
+    sentinel interaction) tracks the padded trajectory."""
+    from tf_repos_tpu.data.synthetic import write_synthetic_aliccp
+    from tf_repos_tpu.train.harness import run_task
+
+    d = tmp_path / "data"
+    d.mkdir()
+    write_synthetic_aliccp(str(d / "tr.samples.txt"), 160, feature_size=400, seed=3)
+    write_synthetic_aliccp(str(d / "va.samples.txt"), 64, feature_size=400, seed=4)
+
+    def run(mh_coo: bool, tag: str):
+        return run_task(Config(
+            model="DIN", feature_size=400, field_size=11, embedding_size=4,
+            deep_layers="8,4", attention_layers="8", dropout="1.0,1.0",
+            batch_size=32, learning_rate=0.01, l2_reg=1e-4, optimizer="Adam",
+            num_epochs=1, multi_hot_pad=8, sparse_table_update=True,
+            attention_pooling=True, mh_coo=mh_coo, pallas_expand=mh_coo,
+            data_dir=str(d), model_dir=str(tmp_path / tag), dt_dir="x",
+            log_steps=4, eval_throttle_secs=0, seed=11,
+        ))
+
+    m_coo = run(True, "scoo")
+    m_pad = run(False, "spad")
+    assert m_coo["step"] == m_pad["step"]
+    assert abs(m_coo["loss"] - m_pad["loss"]) < 1e-4
+    assert abs(m_coo["auc"] - m_pad["auc"]) < 1e-4

@@ -167,7 +167,9 @@ _U16_MAX = np.iinfo(np.uint16).max
 # after this encoder would have split them.
 MHC_LO = "__mhc_lo"
 MHC_HI = "__mhc_hi"
-MHC_CNT = "__mhc_cnt"
+# canonical definition lives with the packer (the packer now emits the
+# counts itself; the encoder re-derives them from dest as validation)
+from tf_repos_tpu.data.sparse_batch import MHC_CNT  # noqa: E402
 
 
 class AliccpSlimEncoder:
@@ -292,6 +294,10 @@ class AliccpSlimEncoder:
                     )
                 batch[MHC_CNT] = cnts
                 del batch[MHC_DEST]
+                # cdest rebuilds on device from the counts (models/din.py)
+                from tf_repos_tpu.data.sparse_batch import MHC_CDEST
+
+                batch.pop(MHC_CDEST, None)
         if bound <= _U16_MAX:
             for f in ALICCP_ID_FIELDS:
                 if f in batch:
@@ -343,7 +349,9 @@ def decode_aliccp_batch(batch: Batch) -> Batch:
             hi = jnp.unpackbits(hi, axis=-1, count=m)
         out[MHC_IDX] = lo | (hi.astype(jnp.int32) << 16)
     if MHC_CNT in out:
-        cnt = out.pop(MHC_CNT).astype(jnp.int32)  # [nd, ngr, bs]
+        # kept in the decoded batch: the sorted-window attention path
+        # (models/din.py) derives its compact segment ids from it
+        cnt = out[MHC_CNT] = out[MHC_CNT].astype(jnp.int32)  # [nd,ngr,bs]
         nd, ngr, bs = cnt.shape
         m = out[MHC_IDX].shape[-1]
         dv = (

@@ -135,6 +135,21 @@ def mapped_batches(it: Iterable, mapper) -> Iterator:
 MHC_IDX = "__mhc_idx"
 MHC_DEST = "__mhc_dest"
 MHC_W = "__mhc_w"
+# per-(field,row) live counts, int32[n_data, n_groups, B_local] in the
+# packer's field-major emission order — both the slim wire's dest
+# replacement (data/slim_wire.py) and the sorted-window attention path
+# (models/din.py + ops/pallas_sparse.make_sorted_seg) key off it
+MHC_CNT = "__mhc_cnt"
+# compact segment id per live slot (running count of non-empty
+# (field,row) pairs): int32[n_data, M_bucket], nondecreasing with
+# increments <= 1 — the sorted-window kernels' index stream. Emitted by
+# the HOST (np.repeat here, ~ms at 1.3M slots) because building it
+# in-graph costs ~10 ms of cumsum+searchsorted per step on v5e.
+# Sentinel/bucket padding is 0 like the other COO arrays: the pad slots
+# carry w=0 (zero vals rows), and a 0 after the live prefix only makes
+# the window mask drop them — pooled rows are unaffected (the kernels
+# never consult dest).
+MHC_CDEST = "__mhc_cdest"
 
 
 def quarter_pow2(m: int) -> int:
@@ -282,6 +297,7 @@ class MhCooPacker:
         per_idx = [[] for _ in range(nd)]
         per_dest = [[] for _ in range(nd)]
         per_w = [[] for _ in range(nd)]
+        cnt = np.zeros((nd, ngr, bs), np.int32)
         for g, (a, wv) in enumerate(zip(ids, ws)):
             p = a.shape[1]
             fa = a.reshape(nd, bs * p)
@@ -291,6 +307,7 @@ class MhCooPacker:
                 per_idx[s].append(fa[s][lv])
                 per_dest[s].append(((lv // p) * ngr + g).astype(np.int32))
                 per_w[s].append(fw[s][lv])
+                cnt[s, g] = np.bincount(lv // p, minlength=bs)
         m_max = max((sum(a.size for a in per_idx[s]) for s in range(nd)), default=0)
         bucket = max(self._bucket, quarter_pow2(m_max))
         self._bucket = bucket
@@ -305,6 +322,15 @@ class MhCooPacker:
                 w[s, m : m + ia.size] = wa
                 m += ia.size
         batch[MHC_IDX], batch[MHC_DEST], batch[MHC_W] = idx, dest, w
+        batch[MHC_CNT] = cnt
+        cd = np.zeros((nd, bucket), np.int32)
+        for s in range(nd):
+            cf = cnt[s].reshape(-1)
+            nzr = cf > 0
+            c_of = (np.cumsum(nzr) - 1).astype(np.int32)
+            live = np.repeat(np.maximum(c_of, 0), cf)
+            cd[s, : live.size] = live
+        batch[MHC_CDEST] = cd
         return batch
 
 
@@ -406,7 +432,7 @@ class GlobalUidsUnion:
             sizes = np.asarray(multihost_utils.process_allgather(local_m))
             self._coo_bucket = max(self._coo_bucket, int(sizes.max()))
             target = self._coo_bucket
-            for k in (MHC_IDX, MHC_DEST, MHC_W):
+            for k in (MHC_IDX, MHC_DEST, MHC_W, MHC_CDEST):
                 if k in batch and batch[k].shape[-1] < target:
                     a = np.asarray(batch[k])
                     batch[k] = np.pad(

@@ -146,7 +146,13 @@ class DIN(CtrModel):
     ) -> Tuple[Outputs, State]:
         cfg = self.cfg
         emb_t = params["emb"]
-        from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_IDX, MHC_W
+        from tf_repos_tpu.data.sparse_batch import (
+            MHC_CDEST,
+            MHC_CNT,
+            MHC_DEST,
+            MHC_IDX,
+            MHC_W,
+        )
 
         fc = batch["feat_ids"].shape[1]
         b = batch["feat_ids"].shape[0]
@@ -219,9 +225,7 @@ class DIN(CtrModel):
                 # (separate emb_t[idx] gathers per use) pays a
                 # [S,K]-scatter backward pass per gather where this pays
                 # ONE accumulate through `lookup` (the lane-packed
-                # Pallas kernel above the VMEM row cap). The segment sum
-                # differentiates through plain XLA scatter-add, whose
-                # cotangent is a cheap [G,K] gather.
+                # Pallas kernel above the VMEM row cap).
                 d_rows = (
                     lookup(emb_t, idxf).astype(common.dtype)
                     * wf[:, None].astype(common.dtype)
@@ -229,7 +233,47 @@ class DIN(CtrModel):
                 # group g pairs with ad embedding: u_cat<->a_cat,
                 # u_shop<->a_shop, u_brand<->a_brand, u_int<->a_int
                 ad_all = jnp.stack([a_cat, a_shop, a_brand, a_int], axis=1)
-                a_sel = ad_all.reshape(b * ng, -1)[destf]
+                seg_pool = getattr(lookup, "seg_pool", None)
+                use_sorted = seg_pool is not None and MHC_CNT in batch
+                if use_sorted:
+                    # sorted-window formulation (round 5): the packer
+                    # emits field-major with ascending rows, so the
+                    # COMPACT segment id (running count of non-empty
+                    # (field,row) pairs, from __mhc_cnt) is
+                    # nondecreasing with increments <= 1 — the segment
+                    # scatter and query select become windowed one-hot
+                    # MXU matmuls (ops/pallas_sparse.make_sorted_seg;
+                    # XLA pays ~11 ns/slot = 14.6 ms for the same
+                    # scatter at the published point, the kernel 3.0).
+                    # dest is NOT consulted: cdest is rebuilt from the
+                    # counts exactly like the slim wire rebuilds dest.
+                    cnt = batch[MHC_CNT].reshape(-1)  # [ng*b] field-major
+                    nz = cnt > 0
+                    c_of = jnp.cumsum(nz.astype(jnp.int32)) - 1
+                    c_ix = jnp.maximum(c_of, 0)
+                    gc = b * ng
+                    if MHC_CDEST in batch:
+                        # host-built (the packer): the in-graph repeat
+                        # below costs ~10 ms/step at M=1.3M on v5e
+                        cdest = batch[MHC_CDEST].reshape(-1)
+                    else:
+                        # slim wire: cdest is rebuilt on device (the
+                        # wire stays minimal; 4 B/slot would cost more
+                        # tunnel time than this repeat)
+                        cdest = jnp.repeat(
+                            c_ix, cnt, total_repeat_length=idxf.shape[0]
+                        )
+                    # queries in compact rows: scatter the field-major
+                    # [ng*b, K] query matrix to its live positions
+                    q_fm = ad_all.swapaxes(0, 1).reshape(gc, -1)
+                    q_c = (
+                        jnp.zeros_like(q_fm)
+                        .at[jnp.where(nz, c_ix, gc)]
+                        .set(q_fm, mode="drop")
+                    )
+                    a_sel = lookup.seg_select(q_c, cdest)
+                else:
+                    a_sel = ad_all.reshape(b * ng, -1)[destf]
                 xatt = jnp.concatenate([d_rows, d_rows - a_sel, a_sel], axis=1)
                 h, new_state["att_mlp"] = T.apply_mlp(
                     params["att_mlp"],
@@ -247,14 +291,27 @@ class DIN(CtrModel):
                 # f32 accumulators: ~300 live slots/row sum in bf16 would
                 # random-walk ~2^-8*sqrt(300) relative error; f32 target
                 # costs 2x scatter bytes, measured ~neutral on chip
-                att_pooled = (
-                    jnp.zeros((b * ng, d_rows.shape[-1]), jnp.float32)
-                    .at[destf]
-                    .add((d_rows * mult[:, None]).astype(jnp.float32))
-                    .reshape(b, ng, -1)
-                    .astype(common.dtype)
-                )
-                pooled = [att_pooled[:, i] for i in range(len(USER_FIELDS))]
+                if use_sorted:
+                    pooled_c = seg_pool(
+                        d_rows * mult[:, None], cdest, gc
+                    )  # [gc, K] f32, compact rows
+                    att_pooled = (
+                        jnp.where(nz[:, None], pooled_c[c_ix], 0.0)
+                        .reshape(ng, b, -1)
+                        .astype(common.dtype)
+                    )
+                    pooled = [att_pooled[i] for i in range(len(USER_FIELDS))]
+                else:
+                    att_pooled = (
+                        jnp.zeros((b * ng, d_rows.shape[-1]), jnp.float32)
+                        .at[destf]
+                        .add((d_rows * mult[:, None]).astype(jnp.float32))
+                        .reshape(b, ng, -1)
+                        .astype(common.dtype)
+                    )
+                    pooled = [
+                        att_pooled[:, i] for i in range(len(USER_FIELDS))
+                    ]
             else:
                 # no attention: every group is a plain weighted sum-pool —
                 # the segment pool rides the (possibly Pallas) COO kernel

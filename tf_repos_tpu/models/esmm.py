@@ -104,6 +104,12 @@ class ESMM(CtrModel):
             a_shop = rows[:, fc + 1]
             a_brand = rows[:, fc + 2]
             ng = len(MH_COO_GROUPS)
+            # NOT the round-5 sorted-window path: DIN's attention wins
+            # with it because d_rows are already materialized for the
+            # MLP, so the segment ops stand alone there. ESMM's fused
+            # coo_pool never materializes the [M,K] rows — switching it
+            # to expand + sorted segsum measured 52.8 vs 45.5 ms at the
+            # published point (A/B, round 5). Keep the fused pool.
             pool = getattr(lookup, "coo_pool", xla_coo_pool)
             # flatten the local [n_data_local, M_pad] view (1 data shard
             # per device under a mesh; [1, M_pad] on a single chip)

@@ -872,7 +872,347 @@ def make_vmem_expand_lookup(chunk: int = 8192, unroll: int = 16):
     # the COO multi-hot pool rides the same opt-in: models reach it via
     # getattr(lookup, "coo_pool", xla default) — see models/esmm.py
     lookup.coo_pool = make_coo_pool(chunk=chunk, unroll=unroll)
+    # sorted-window segment pair (DIN COO attention): same opt-in idiom
+    lookup.seg_pool, lookup.seg_select = make_sorted_seg()
     return lookup
+
+
+# ------------------------------------------- sorted-window segment ops
+#
+# DIN's published-regime step decomposition (scripts/bench_din_decomp.py,
+# PERF.md round 5) showed the remaining time is the per-slot
+# scatter/gather CHAIN around the attention MLP, not the MLP itself: one
+# [M=1.31M,K]->[G=16k,K] XLA segment-scatter costs 14.6 ms (~11 ns/slot
+# — one HBM transaction per slot) and its cotangent gather 5.7 ms, while
+# G*K is only ~1 MB. The scalar-loop VMEM kernels above cap that at the
+# VPU row-RMW rate (~7-15 ns/slot) — better, but still a scalar loop.
+#
+# These kernels instead exploit an ORDER invariant the COO packer
+# already provides for free: emission is field-major with ascending
+# batch rows (data/sparse_batch.MhCooPacker), so the COMPACT segment id
+# (the running count of non-empty (field,row) pairs, derived on device
+# from the per-(field,row) counts `__mhc_cnt`) is NONDECREASING along
+# the slot stream with increments of at most 1. Over any chunk of C
+# consecutive slots the segment ids therefore span a window of at most C
+# rows starting at d0 = cdest[chunk_start] — which turns the segment sum
+# into fully VECTORIZED work with no scalar-indexed loop at all:
+#
+#   local  = cdest_chunk - d0                      in [0, C)
+#   onehot = (iota[W,C] == local[None,:])          W = C
+#   out[d0 : d0+W, :] += onehot @ vals_chunk       one MXU matmul +
+#                                                  one contiguous
+#                                                  dynamic-sublane RMW
+#
+# and the matching windowed gather (src[cdest]) is the transpose:
+# read the [W,K] window at d0, onehot.T-matmul it back to [C,K]. Cost
+# per slot is ~W*K*2 MXU FLOPs (trivial) plus streamed VMEM traffic —
+# measured on v5e at the DIN point (M=1.31M, G=16k, K=16) the segment
+# sum runs ~10x faster than XLA's scatter (see PERF.md). Grid steps on
+# a TPU core are SEQUENTIAL, so overlapping windows of consecutive
+# chunks do not race.
+#
+# Contract: cdest int32, nondecreasing, increments <= 1 per slot,
+# values in [0, n_out); M-bucket pad slots carry the LAST live slot's
+# cdest (jnp.repeat(..., total_repeat_length) pads exactly so) with
+# zero vals rows. The [n_out + C, K] f32 accumulator (resp. pinned
+# source) lives in VMEM for the whole grid.
+
+
+def _sorted_segsum_kernel(
+    d0_ref, cdest_ref, vals_ref, out_ref, *, chunk: int, sub: int
+):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # SUB sub-chunks per grid step: Mosaic block rules want the sublane
+    # dim of the int32 cdest block divisible by 8, so the block carries
+    # 8 chunk-rows and the kernel walks them (each with its own window)
+    w = chunk + 16  # window: 16-aligned start + the <=chunk-1 range
+    for u in range(sub):
+        # the floor-to-16 happens IN-kernel: Mosaic cannot prove a value
+        # loaded from SMEM aligned, but (x // 16) * 16 it can
+        d0 = (d0_ref[c * sub + u] // 16) * 16
+        local = cdest_ref[u, :] - d0  # [chunk], values in [0, w)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (w, chunk), 0)
+            == local[None, :]
+        ).astype(vals_ref.dtype)
+        # HIGHEST for f32 operands: TPU DEFAULT matmul precision
+        # decomposes f32 into bf16 passes — a 1.6e-3 relative error on
+        # the segment sums. bf16 operands keep DEFAULT (Mosaic rejects
+        # HIGHEST bf16, and the one-hot products are exact anyway: one
+        # side is 1.0 and the accumulate is f32).
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if vals_ref.dtype == jnp.float32
+            else None
+        )
+        partial = jnp.dot(
+            onehot,
+            vals_ref[pl.ds(u * chunk, chunk), :],
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        out_ref[pl.ds(d0, w), :] = out_ref[pl.ds(d0, w), :] + partial
+
+
+def _sorted_expand_kernel(
+    d0_ref, cdest_ref, src_ref, out_ref, *, chunk: int, sub: int
+):
+    c = pl.program_id(0)
+    w = chunk + 16
+    for u in range(sub):
+        d0 = (d0_ref[c * sub + u] // 16) * 16  # provably 16-aligned
+        local = cdest_ref[u, :] - d0
+        onehot = (
+            local[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (chunk, w), 1)
+        ).astype(src_ref.dtype)
+        window = src_ref[pl.ds(d0, w), :]  # [w, K]
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if src_ref.dtype == jnp.float32
+            else None
+        )
+        # Mosaic requires a 32-bit matmul accumulator; the selection is
+        # 1:1 so the f32->src-dtype cast is exact
+        out_ref[pl.ds(u * chunk, chunk), :] = jnp.dot(
+            onehot, window, preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(src_ref.dtype)
+
+
+_SORTED_SUB = 8  # chunk-rows per grid step (sublane-divisibility rule)
+
+
+def _sorted_prep(cdest: jax.Array, chunk: int):
+    """Pad the slot stream to a chunk*sub multiple (edge mode keeps the
+    nondecreasing contract), shape it [rows, chunk] for the (8, chunk)
+    VMEM blocks, and slice the per-chunk window starts (the FULL [rows]
+    d0s array rides in SMEM as one block — block == array shape is
+    always legal; per-step size-1 blocks are not)."""
+    (m,) = cdest.shape
+    mp = _round_up(m, chunk * _SORTED_SUB)
+    if mp != m:
+        cdest = jnp.pad(cdest, (0, mp - m), mode="edge")
+    # raw window starts; the kernels floor them to 16 in-kernel (bf16's
+    # (16, 128) tiling demands provably aligned dynamic sublane offsets)
+    # and read/RMW a [chunk + 16]-row window
+    d0s = cdest[::chunk]
+    return cdest.reshape(mp // chunk, chunk), d0s, mp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_out", "chunk", "interpret")
+)
+def sorted_segsum(
+    vals: jax.Array,  # [M, K] float
+    cdest: jax.Array,  # [M] int32, see contract above
+    n_out: int,
+    chunk: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:  # [n_out, K] f32
+    """out[j] = sum over {i: cdest[i] == j} of vals[i] — the windowed
+    MXU formulation (module comment)."""
+    vma = jax.typeof(cdest).vma | jax.typeof(vals).vma
+    interpret, chunk, _ = _resolve_interpret(interpret, vma, chunk, 8)
+    (m, k) = vals.shape
+    sub = _SORTED_SUB
+    cdest2, d0s, mp = _sorted_prep(cdest, chunk)
+    if mp != m:
+        vals = jnp.pad(vals, ((0, mp - m), (0, 0)))
+    grid = mp // (chunk * sub)
+    out = pl.pallas_call(
+        functools.partial(_sorted_segsum_kernel, chunk=chunk, sub=sub),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (sub, chunk), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (sub * chunk, k), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_out + chunk + 16, k), lambda c: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out + chunk + 16, k), jnp.float32, vma=vma
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(d0s, cdest2, vals)
+    return out[:n_out]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def sorted_expand(
+    src: jax.Array,  # [n_src, K] float
+    cdest: jax.Array,  # [M] int32, see contract above
+    chunk: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:  # [M, K] src.dtype
+    """out[i] = src[cdest[i]] — the windowed transpose of
+    sorted_segsum."""
+    vma = jax.typeof(cdest).vma | jax.typeof(src).vma
+    interpret, chunk, _ = _resolve_interpret(interpret, vma, chunk, 8)
+    (m,) = cdest.shape
+    n_src, k = src.shape
+    sub = _SORTED_SUB
+    cdest2, d0s, mp = _sorted_prep(cdest, chunk)
+    grid = mp // (chunk * sub)
+    src = jnp.pad(src, ((0, chunk + 16), (0, 0)))  # window overhang
+    out = pl.pallas_call(
+        functools.partial(_sorted_expand_kernel, chunk=chunk, sub=sub),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (sub, chunk), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_src + chunk + 16, k), lambda c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (sub * chunk, k), lambda c: (c, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, k), src.dtype, vma=vma),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(d0s, cdest2, src)
+    return out[:m]
+
+
+def sorted_segsum_reference(vals, cdest, n_out: int) -> jax.Array:
+    """XLA baseline / above-cap fallback (autodiff gives the transpose)."""
+    return (
+        jnp.zeros((n_out, vals.shape[-1]), jnp.float32)
+        .at[cdest]
+        .add(vals.astype(jnp.float32), indices_are_sorted=True)
+    )
+
+
+def sorted_expand_reference(src, cdest) -> jax.Array:
+    return jnp.take(src, cdest, axis=0, indices_are_sorted=True)
+
+
+# VMEM bytes cap for the pinned [n_out + chunk, K] f32 accumulator /
+# source (512 B/row lane-padded) — beyond it the XLA forms take over at
+# trace time. Same 24 MB pinned budget as VMEM_ROW_CAP: ~48k pooled
+# rows, covering B=4096 x 4-5 groups with 2-3x headroom.
+_SORTED_SEG_BYTES_CAP = VMEM_ROW_CAP * 512
+
+
+def _sorted_seg_fits(n_out: int, k: int, chunk: int = 512) -> bool:
+    return (n_out + chunk) * max(k, 128) * 4 <= _SORTED_SEG_BYTES_CAP
+
+
+def make_sorted_seg(chunk: int = 512):
+    """(seg_pool, seg_select) differentiable pair over a sorted compact
+    segment stream (contract in the module comment):
+
+      seg_pool(vals, cdest, n_out) -> [n_out, K] f32   segment sum
+      seg_select(src, cdest)       -> [M, K]           src[cdest]
+
+    Each is the other's AD transpose, so one custom_vjp closes both
+    directions; the usual vma psum plumbing (see make_vmem_expand_lookup)
+    applies when the operands' mesh-axis sets differ.
+
+    Direction/dtype tiering, measured at the DIN published point
+    (M=1.31M, G=16k, K=16, v5e):
+
+      segsum  XLA 13.9 ms | Pallas f32 7.9 | Pallas bf16 3.0
+      expand  XLA  6.8 ms | Pallas f32 9.1 | Pallas bf16 2.9
+
+    The f32 Pallas matmuls pay Precision.HIGHEST (6 MXU passes — TPU
+    DEFAULT would bf16-round the operands), so: segment SUMS always take
+    the Pallas kernel (wins in both dtypes); the selection side takes
+    Pallas for bf16 and XLA's gather for f32. When the primal stream is
+    bf16, the pool's backward casts the cotangent to bf16 BEFORE the
+    selection — bit-identical to selecting in f32 and casting after
+    (selection is 1:1), and 3x faster. Falls back to the XLA forms
+    above the VMEM cap."""
+
+    def _make_pool(extra_axes, vdt):
+        # primal dtype closed over (residuals must be jax types)
+        @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+        def seg_pool(vals, cdest, n_out):
+            return sorted_segsum(vals, cdest, n_out, chunk=chunk)
+
+        def fwd(vals, cdest, n_out):
+            return seg_pool(vals, cdest, n_out), cdest
+
+        def bwd(n_out, cdest, ct):
+            if vdt == jnp.bfloat16:
+                d_vals = sorted_expand(
+                    ct.astype(jnp.bfloat16), cdest, chunk=chunk
+                )
+            else:
+                d_vals = sorted_expand_reference(ct, cdest).astype(vdt)
+            if extra_axes:
+                d_vals = jax.lax.psum(d_vals, extra_axes)
+            return d_vals, np.zeros(cdest.shape, jax.dtypes.float0)
+
+        seg_pool.defvjp(fwd, bwd)
+        return seg_pool
+
+    def _make_select(extra_axes, n_src, sdt):
+        # the source row count is a trace-time constant the transpose
+        # needs as a static shape — closed over, like the dtype
+        @jax.custom_vjp
+        def seg_select(src, cdest):
+            if sdt == jnp.bfloat16:
+                return sorted_expand(src, cdest, chunk=chunk)
+            return sorted_expand_reference(src, cdest)
+
+        def fwd(src, cdest):
+            return seg_select(src, cdest), cdest
+
+        def bwd(cdest, ct):
+            d_src = sorted_segsum(ct, cdest, n_src, chunk=chunk).astype(sdt)
+            if extra_axes:
+                d_src = jax.lax.psum(d_src, extra_axes)
+            return d_src, np.zeros(cdest.shape, jax.dtypes.float0)
+
+        seg_select.defvjp(fwd, bwd)
+        return seg_select
+
+    pool_cache, sel_cache = {}, {}
+
+    def seg_pool(vals, cdest, n_out: int):
+        if not _sorted_seg_fits(n_out, vals.shape[-1], chunk):
+            return sorted_segsum_reference(vals, cdest, n_out)
+        extra = tuple(
+            sorted(jax.typeof(cdest).vma - jax.typeof(vals).vma)
+        )
+        key = (extra, vals.dtype)
+        if key not in pool_cache:
+            pool_cache[key] = _make_pool(extra, vals.dtype)
+        return pool_cache[key](vals, cdest, n_out)
+
+    def seg_select(src, cdest):
+        if not _sorted_seg_fits(src.shape[0], src.shape[-1], chunk):
+            return sorted_expand_reference(src, cdest)
+        extra = tuple(
+            sorted(jax.typeof(cdest).vma - jax.typeof(src).vma)
+        )
+        key = (extra, src.shape[0], src.dtype)
+        if key not in sel_cache:
+            sel_cache[key] = _make_select(extra, src.shape[0], src.dtype)
+        return sel_cache[key](src, cdest)
+
+    return seg_pool, seg_select
 
 
 # ------------------------------------------------------ DMA row scatter

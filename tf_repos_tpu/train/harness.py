@@ -629,11 +629,13 @@ class Harness:
             for t, s in self._sparse_slots.items():
                 rules[UIDS_PREFIX + t] = s.vocab
         if self._mh_coo_groups is not None:
-            from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_IDX, MHC_W
+            from tf_repos_tpu.data.sparse_batch import (
+                MHC_CDEST, MHC_DEST, MHC_IDX, MHC_W,
+            )
             from tf_repos_tpu.data.slim_wire import MHC_HI, MHC_LO
 
             rules.update({
-                MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0,
+                MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0, MHC_CDEST: 0,
                 # compressed-wire forms (encoder inside the worker pool)
                 MHC_LO: 0, MHC_HI: 0,
             })
@@ -749,7 +751,7 @@ class Harness:
                         # compressed wire lo=hi=0, which decodes to
                         # idx 0) adds exactly zero
                         from tf_repos_tpu.data.sparse_batch import (
-                            MHC_DEST, MHC_IDX, MHC_W,
+                            MHC_CDEST, MHC_DEST, MHC_IDX, MHC_W,
                         )
                         from tf_repos_tpu.data.slim_wire import (
                             MHC_HI, MHC_LO,
@@ -757,7 +759,7 @@ class Harness:
 
                         sentinels.update(
                             {MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0,
-                             MHC_LO: 0, MHC_HI: 0}
+                             MHC_CDEST: 0, MHC_LO: 0, MHC_HI: 0}
                         )
                     if self._uids_union is not None:
                         # per-batch global uid union BEFORE stacking, in
