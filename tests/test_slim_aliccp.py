@@ -232,10 +232,14 @@ def test_coo_idx_lo_hi_split_roundtrip(bound, form):
 
 
 def test_coo_counts_multihost_gate_and_fallback():
-    """compress_coo=False (multi-host) keeps the raw idx/dest wire; a
-    dest stream that is not field-major falls back without committing."""
+    """compress_coo=False (multi-host) keeps the raw idx/dest wire (the
+    packer's small counts/cdest arrays ride along — they are host-local
+    and enable the sorted-window attention path under multi-host); a
+    dest stream that is not field-major falls back without committing
+    AND drops the packer's counts/cdest (they rest on the same order
+    assumption)."""
     from tf_repos_tpu.data.slim_wire import MHC_CNT
-    from tf_repos_tpu.data.sparse_batch import MHC_DEST
+    from tf_repos_tpu.data.sparse_batch import MHC_CDEST, MHC_DEST
 
     cfg = Config(model="ESMM", feature_size=400, field_size=11,
                  embedding_size=4, deep_layers="8,4", dropout="1.0,1.0",
@@ -247,8 +251,9 @@ def test_coo_counts_multihost_gate_and_fallback():
     wire = AliccpSlimEncoder(
         vocab=400, compress_coo=False, n_groups=len(model.mh_coo_groups())
     )(dict(b))
-    assert MHC_CNT not in wire and MHC_DEST in wire
-    # scrambled dest order -> falls back (no MHC_CNT), still decodes
+    assert MHC_DEST in wire and MHC_CNT in wire and MHC_CDEST in wire
+    # scrambled dest order -> falls back (dest kept, counts dropped),
+    # still decodes
     b2 = packer(mapper(_batch(1)))
     d = np.asarray(b2[MHC_DEST]).copy()
     nlive = int(np.flatnonzero(np.asarray(b2[MHC_IDX])[0]).max()) + 1
@@ -258,3 +263,4 @@ def test_coo_counts_multihost_gate_and_fallback():
         vocab=400, n_groups=len(model.mh_coo_groups())
     )(dict(b2))
     assert MHC_CNT not in wire2 and MHC_DEST in wire2
+    assert MHC_CDEST not in wire2

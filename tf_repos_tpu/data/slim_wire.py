@@ -298,6 +298,14 @@ class AliccpSlimEncoder:
                 from tf_repos_tpu.data.sparse_batch import MHC_CDEST
 
                 batch.pop(MHC_CDEST, None)
+            else:
+                # dest failed the field-major validation: the packer's
+                # cnt/cdest rest on the same order assumption — drop
+                # them so the model keeps the raw destf formulation
+                from tf_repos_tpu.data.sparse_batch import MHC_CDEST
+
+                batch.pop(MHC_CNT, None)
+                batch.pop(MHC_CDEST, None)
         if bound <= _U16_MAX:
             for f in ALICCP_ID_FIELDS:
                 if f in batch:
