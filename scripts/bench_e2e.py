@@ -39,9 +39,11 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--steps_per_dispatch", type=int, default=8)
     ap.add_argument(
-        "--model", default="deepfm", choices=["deepfm", "esmm"],
+        "--model", default="deepfm", choices=["deepfm", "esmm", "din"],
         help="esmm = the large-vocab Ali-CCP cell (expects tr.samples.txt "
-        "in --data_dir; DeepMTL's '20 GB, very slow' pain point)",
+        "in --data_dir; DeepMTL's '20 GB, very slow' pain point); "
+        "din = the attention-pooling counterpart (round 5: the "
+        "sorted-window segment kernels ride --pallas_expand + --mh_coo)",
     )
     ap.add_argument("--multi_hot_pad", type=int, default=16)
     ap.add_argument(
@@ -83,6 +85,16 @@ def main(argv=None):
         help="--sparse_catchup per-row Adam moment catch-up",
     )
     ap.add_argument(
+        "--sparse_pad_mode", default="pow2",
+        help="uids bucket sizing (pow2 / pow2:<floor> / max) — floors "
+        "skip the recompile ladder",
+    )
+    ap.add_argument(
+        "--mh_coo_floor", type=int, default=0,
+        help="pre-size the COO M bucket (skips its quarter-pow2 ladder; "
+        "each ladder step recompiles the scan program)",
+    )
+    ap.add_argument(
         "--slim", action="store_true",
         help="--slim_transfer wire format (data/slim_wire.py): halves "
         "host->device input bytes; the lever when the input link (PCIe "
@@ -93,9 +105,12 @@ def main(argv=None):
     from tf_repos_tpu.config import Config
     from tf_repos_tpu.train.harness import run_task
 
-    if a.model == "esmm":
+    if a.model in ("esmm", "din"):
         cfg = Config(
-            model="ESMM", feature_size=a.feature_size, field_size=11,
+            model="ESMM" if a.model == "esmm" else "DIN",
+            attention_layers="256",
+            attention_pooling=a.model == "din",
+            feature_size=a.feature_size, field_size=11,
             embedding_size=16, deep_layers="256,128,64", dropout="0.9,0.9,0.9",
             batch_size=a.batch_size or 4096, num_epochs=a.epochs, log_steps=50,
             learning_rate=5e-4, l2_reg=1e-5, optimizer="Adam",
@@ -109,6 +124,7 @@ def main(argv=None):
             fused_table=a.fused_table or a.dma, dma_scatter=a.dma,
             sparse_catchup=a.catchup,
             mh_coo=a.mh_coo, slim_transfer=a.slim,
+            mh_coo_floor=a.mh_coo_floor, sparse_pad_mode=a.sparse_pad_mode,
             mh_bucket=a.mh_bucket, map_workers=a.map_workers,
             param_dtype=(
                 "float32" if a.dma

@@ -624,3 +624,94 @@ def test_din_harness_sorted_trajectory_matches_padded(tmp_path):
     assert m_coo["step"] == m_pad["step"]
     assert abs(m_coo["loss"] - m_pad["loss"]) < 1e-4
     assert abs(m_coo["auc"] - m_pad["auc"]) < 1e-4
+
+
+@pytest.mark.parametrize("m,g,k", [(3000, 700, 16), (900, 57, 32)])
+def test_sorted_segsum_packed_matches_reference(m, g, k):
+    """The lane-packed sorted segment sum (big-n_out variant: `pack`
+    logical rows per 128-lane VMEM row, one one-hot matmul per lane
+    slot) == the XLA scatter."""
+    rng = np.random.default_rng(2)
+    inc = (rng.random(m) < 0.3).astype(np.int32)
+    inc[0] = 0
+    cdest = jnp.asarray(np.minimum(np.cumsum(inc), g - 1).astype(np.int32))
+    vals = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    got = PS.sorted_segsum_packed(vals, cdest, g)
+    ref = PS.sorted_segsum_reference(vals, cdest, g)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_sorted_bwd_expand_grad_matches_plain():
+    """make_sorted_bwd_expand: forward identical to rows[ids]; the
+    backward (perm-gather -> masked -> packed windowed segsum -> run
+    scatter) must equal the plain accumulate to float tolerance,
+    including 0-sentinel pad entries in perm/cidx/srows."""
+    rng = np.random.default_rng(3)
+    S, M, K, pad = 97, 400, 16, 80
+    rows = jnp.asarray(rng.normal(size=(S, K)).astype(np.float32))
+    ids_live = rng.integers(0, S, M).astype(np.int32)
+    order = np.argsort(ids_live, kind="stable").astype(np.int32)
+    si = ids_live[order]
+    starts = np.empty(M, np.bool_)
+    starts[0] = True
+    starts[1:] = si[1:] != si[:-1]
+    cidx = (np.cumsum(starts) - 1).astype(np.int32)
+    srows = si[starts]
+    # 0-sentinel pad tails (bucket growth form)
+    ids = jnp.asarray(np.concatenate([ids_live, np.zeros(pad, np.int32)]))
+    perm = jnp.asarray(np.concatenate([order, np.zeros(pad, np.int32)]))
+    cidxp = jnp.asarray(np.concatenate([cidx, np.zeros(pad, np.int32)]))
+    srowsp = jnp.asarray(np.concatenate([srows, np.zeros(33, np.int32)]))
+    exp = PS.make_sorted_bwd_expand(chunk=256)
+
+    def f(r):
+        out = exp(r, ids, perm, cidxp, srowsp, jnp.int32(M))
+        # pad slots multiplied by 0 like the model's wf
+        w = jnp.asarray(
+            np.concatenate([np.ones(M), np.zeros(pad)]).astype(np.float32)
+        )
+        return jnp.sum((out * w[:, None]) ** 2)
+
+    def fr(r):
+        out = r[ids]
+        w = jnp.asarray(
+            np.concatenate([np.ones(M), np.zeros(pad)]).astype(np.float32)
+        )
+        return jnp.sum((out * w[:, None]) ** 2)
+
+    np.testing.assert_allclose(float(f(rows)), float(fr(rows)), rtol=1e-6)
+    g1 = jax.grad(f)(rows)
+    g2 = jax.grad(fr)(rows)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=3e-5, atol=3e-4
+    )
+
+
+def test_packer_sorted_aux_contract():
+    """sorted_aux emission: perm is a permutation of the live prefix in
+    stable idx-ascending order; cidx nondecreasing with increments <= 1;
+    srows[r] == the r-th run's idx value."""
+    from tf_repos_tpu.data.sparse_batch import (
+        MHC_CIDX, MHC_CNT, MHC_PERM, MHC_SROWS,
+    )
+
+    cfg = _din_cfg()
+    model = create_model(cfg)
+    packer = MhCooPacker(model.mh_coo_groups(), sorted_aux=True)
+    for b in _aliccp_batches(cfg, 2, pad=8, seed0=70):
+        p = packer(dict(b))
+        m = int(p[MHC_CNT].sum())
+        idx = np.asarray(p[MHC_IDX])[0]
+        perm = np.asarray(p[MHC_PERM])[0]
+        cidx = np.asarray(p[MHC_CIDX])[0]
+        srows = np.asarray(p[MHC_SROWS])[0]
+        assert sorted(perm[:m]) == list(range(m))
+        si = idx[perm[:m]]
+        assert (np.diff(si) >= 0).all()
+        d = np.diff(cidx[:m])
+        assert (d >= 0).all() and (d <= 1).all()
+        runs = np.unique(si)
+        np.testing.assert_array_equal(srows[: runs.size], runs)
+        assert (srows[runs.size:] == 0).all()

@@ -196,6 +196,23 @@ class Config:
     # the host->device wire (~12 B per live slot vs 4-8 B per padded
     # slot: 9.4 MB -> ~1.6 MB per pad-64 B=4096 batch).
     mh_coo: bool = False
+    # pre-size the COO M bucket (MhCooPacker floor): like the uids
+    # bucket's "pow2:<floor>", this skips the quarter-pow2 growth ladder
+    # when the steady-state live-slot count is known — each ladder step
+    # RECOMPILES the (scan-K) program, and a DIN-attention compile at
+    # 4.5M vocab costs minutes through a remote-compile path (the
+    # round-5 DIN e2e measured compile-bound without it). 0 = default
+    # floor 1024 + ladder.
+    mh_coo_floor: int = 0
+    # opt-in idx-sorted COO backward (packer perm/cidx/srows aux + the
+    # lane-packed windowed segment sum replacing the per-slot backward
+    # accumulate). MEASURED 4 ms SLOWER at the published DIN point
+    # (93.8 vs 89.8 ms — XLA fuses the in-graph accumulate well below
+    # its standalone cost); its niche is ABOVE the lane-packed VMEM row
+    # cap (~390k unique ids at K=16), where the plain accumulate falls
+    # back to XLA's ~35 ms scatter while this path still fits. DIN
+    # attention only; single-process; not under --slim_transfer.
+    coo_sorted_bwd: bool = False
     # slice the padded multi-hot fields to the BATCH's live width on the
     # host (data/sparse_batch.MhPadBucketer): per-field pow2 buckets of
     # the max live column, monotonic growth (same recompile-bounding

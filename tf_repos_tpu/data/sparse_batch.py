@@ -124,6 +124,14 @@ class SparseBatchMapper:
             batch[UIDS_PREFIX + name] = uids
             for f, arr in zip(present + extra, fields):
                 batch[f] = np.take(remap, arr, mode="clip")
+            if extra and MHC_SROWS in batch:
+                # the sorted-aux run table holds the same raw ids the
+                # COO idx stream did — same monotonic remap (order and
+                # run structure survive; pad 0 -> row 0, masked off on
+                # device)
+                batch[MHC_SROWS] = np.take(
+                    remap, batch[MHC_SROWS], mode="clip"
+                )
         return batch
 
 
@@ -150,6 +158,17 @@ MHC_CNT = "__mhc_cnt"
 # the window mask drop them — pooled rows are unaffected (the kernels
 # never consult dest).
 MHC_CDEST = "__mhc_cdest"
+# idx-sorted auxiliary stream (packer sorted_aux=True; models/din.py's
+# sorted BACKWARD accumulate): perm = stable idx-ascending order of the
+# live slots (int32[nd, M_bucket]); cidx = compact run id per sorted
+# position (nondecreasing, increments <= 1); srows = table id per run
+# (int32[nd, Su_bucket], raw ids at packer time — the mapper remaps
+# them exactly like __mhc_idx; remap is monotonic so the sort order and
+# run structure survive). All pad with 0: the device masks sorted
+# positions >= sum(counts), so 0-sentinel growth is harmless.
+MHC_PERM = "__mhc_perm"
+MHC_CIDX = "__mhc_cidx"
+MHC_SROWS = "__mhc_srows"
 
 
 def quarter_pow2(m: int) -> int:
@@ -261,12 +280,19 @@ class MhCooPacker:
     ops/pallas_sparse.make_coo_pool (VMEM segment pool, cost ∝ live
     slots) or the XLA .at[].add fallback — models/esmm.py."""
 
-    def __init__(self, groups, n_data: int = 1, floor: int = 1024):
+    def __init__(self, groups, n_data: int = 1, floor: int = 1024,
+                 sorted_aux: bool = False):
         if not groups:
             raise ValueError("--mh_coo: model declares no multi-hot groups")
         self.groups = tuple(groups)  # ((field, has_vals), ...)
         self.n_data = max(int(n_data), 1)
         self._bucket = max(int(floor), 1)
+        # emit the idx-sorted aux stream (perm/cidx/srows) for models
+        # whose BACKWARD accumulate can ride the sorted-window kernels
+        # (DIN attention); costs an O(M) radix argsort per batch on the
+        # host, so it is opt-in
+        self.sorted_aux = bool(sorted_aux)
+        self._sbucket = 512
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         batch = dict(batch)
@@ -331,6 +357,34 @@ class MhCooPacker:
             live = np.repeat(np.maximum(c_of, 0), cf)
             cd[s, : live.size] = live
         batch[MHC_CDEST] = cd
+        if self.sorted_aux:
+            perm = np.zeros((nd, bucket), np.int32)
+            cidx = np.zeros((nd, bucket), np.int32)
+            runs_per = []
+            for s in range(nd):
+                m = int(cnt[s].sum())
+                order = np.argsort(
+                    idx[s, :m], kind="stable"
+                ).astype(np.int32)
+                si = idx[s, :m][order]
+                if m:
+                    starts = np.empty(m, np.bool_)
+                    starts[0] = True
+                    starts[1:] = si[1:] != si[:-1]
+                    cidx[s, :m] = (np.cumsum(starts) - 1).astype(np.int32)
+                    runs_per.append(si[starts])
+                else:
+                    runs_per.append(np.zeros(0, np.int32))
+                perm[s, :m] = order
+            self._sbucket = max(
+                self._sbucket,
+                quarter_pow2(max((r.size for r in runs_per), default=0)),
+            )
+            srows = np.zeros((nd, self._sbucket), np.int32)
+            for s, r in enumerate(runs_per):
+                srows[s, : r.size] = r
+            batch[MHC_PERM], batch[MHC_CIDX] = perm, cidx
+            batch[MHC_SROWS] = srows
         return batch
 
 
@@ -421,6 +475,12 @@ class GlobalUidsUnion:
                     coo_owned = True
             if coo_owned:
                 batch[MHC_IDX] = np.take(lp2gp, batch[MHC_IDX], mode="clip")
+                # the idx-sorted aux stream is a single-process lever
+                # (its srows would need the same global rewrite plus a
+                # cross-host Su-bucket consensus); drop it — the model
+                # falls back to the plain packed accumulate
+                for k in (MHC_PERM, MHC_CIDX, MHC_SROWS):
+                    batch.pop(k, None)
             batch[key] = guids
         if MHC_IDX in batch:
             # cross-host COO bucket consensus: every host must compile and
@@ -432,7 +492,7 @@ class GlobalUidsUnion:
             sizes = np.asarray(multihost_utils.process_allgather(local_m))
             self._coo_bucket = max(self._coo_bucket, int(sizes.max()))
             target = self._coo_bucket
-            for k in (MHC_IDX, MHC_DEST, MHC_W, MHC_CDEST):
+            for k in (MHC_IDX, MHC_DEST, MHC_W, MHC_CDEST, MHC_PERM, MHC_CIDX):
                 if k in batch and batch[k].shape[-1] < target:
                     a = np.asarray(batch[k])
                     batch[k] = np.pad(

@@ -105,6 +105,14 @@ class CtrModel:
         sequence, not a sum-pool)."""
         return ()
 
+    def wants_sorted_aux(self) -> bool:
+        """True when the model's COO backward rides the idx-sorted aux
+        stream (packer sorted_aux — perm/cidx/srows; costs an O(M) host
+        radix sort per batch). DIN attention only: its [M,K] expand
+        cotangent is a standalone accumulate the sorted-window kernels
+        beat; ESMM's fused coo_pool backward measured better without."""
+        return False
+
     # -------- provided
     def loss(
         self,

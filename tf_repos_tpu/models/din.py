@@ -148,9 +148,12 @@ class DIN(CtrModel):
         emb_t = params["emb"]
         from tf_repos_tpu.data.sparse_batch import (
             MHC_CDEST,
+            MHC_CIDX,
             MHC_CNT,
             MHC_DEST,
             MHC_IDX,
+            MHC_PERM,
+            MHC_SROWS,
             MHC_W,
         )
 
@@ -226,15 +229,34 @@ class DIN(CtrModel):
                 # [S,K]-scatter backward pass per gather where this pays
                 # ONE accumulate through `lookup` (the lane-packed
                 # Pallas kernel above the VMEM row cap).
+                seg_pool = getattr(lookup, "seg_pool", None)
+                use_sorted = seg_pool is not None and MHC_CNT in batch
+                sbe = getattr(lookup, "sorted_bwd_expand", None)
+                if use_sorted and sbe is not None and MHC_PERM in batch:
+                    # idx-sorted backward (round 5): the expand's AD
+                    # transpose — the costliest remaining per-slot op
+                    # (~15-19 ms scalar accumulate at the published
+                    # point) — rides the packer's idx-sorted aux stream
+                    # through the lane-packed windowed segment sum
+                    raw = sbe(
+                        emb_t, idxf,
+                        batch[MHC_PERM].reshape(-1),
+                        batch[MHC_CIDX].reshape(-1),
+                        batch[MHC_SROWS].reshape(-1),
+                        jnp.sum(batch[MHC_CNT]),
+                        # lossless when the rows are consumed in bf16
+                        # (the cotangent was produced as bf16)
+                        cast_bf16=common.dtype == jnp.bfloat16,
+                    )
+                else:
+                    raw = lookup(emb_t, idxf)
                 d_rows = (
-                    lookup(emb_t, idxf).astype(common.dtype)
+                    raw.astype(common.dtype)
                     * wf[:, None].astype(common.dtype)
                 )
                 # group g pairs with ad embedding: u_cat<->a_cat,
                 # u_shop<->a_shop, u_brand<->a_brand, u_int<->a_int
                 ad_all = jnp.stack([a_cat, a_shop, a_brand, a_int], axis=1)
-                seg_pool = getattr(lookup, "seg_pool", None)
-                use_sorted = seg_pool is not None and MHC_CNT in batch
                 if use_sorted:
                     # sorted-window formulation (round 5): the packer
                     # emits field-major with ascending rows, so the
@@ -382,3 +404,6 @@ class DIN(CtrModel):
 
     def mh_coo_groups(self):
         return MH_COO_GROUPS
+
+    def wants_sorted_aux(self) -> bool:
+        return bool(self.cfg.attention_pooling)

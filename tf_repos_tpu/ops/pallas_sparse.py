@@ -874,6 +874,7 @@ def make_vmem_expand_lookup(chunk: int = 8192, unroll: int = 16):
     lookup.coo_pool = make_coo_pool(chunk=chunk, unroll=unroll)
     # sorted-window segment pair (DIN COO attention): same opt-in idiom
     lookup.seg_pool, lookup.seg_select = make_sorted_seg()
+    lookup.sorted_bwd_expand = make_sorted_bwd_expand()
     return lookup
 
 
@@ -1114,6 +1115,105 @@ def sorted_expand_reference(src, cdest) -> jax.Array:
 _SORTED_SEG_BYTES_CAP = VMEM_ROW_CAP * 512
 
 
+def _sorted_segsum_packed_kernel(
+    d0_ref, cdest_ref, vals_ref, out_ref, *, chunk: int, sub: int, k: int,
+    pack: int,
+):
+    """sorted_segsum with a LANE-PACKED accumulator: out is
+    [rows, 128] f32 holding `pack` logical K-wide segment rows per
+    128-lane VMEM row (the accumulate_rows_packed layout) — raises the
+    pinned-output cap 128/K-fold, covering the [M,K]->[S~114k,K]
+    backward accumulate of the COO lookup when the slot stream arrives
+    idx-sorted. The matmul PRODUCES the packed layout directly: one
+    one-hot matmul per lane slot p selects the slots with
+    local % pack == p, and the pack results concatenate along lanes —
+    same total FLOPs as the unpacked kernel, no relayout."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    align = 8 * pack  # packed-row window start must be 8-sublane aligned
+    wp = (chunk + 2 * align) // pack  # window height in packed rows
+    for u in range(sub):
+        d0 = (d0_ref[c * sub + u] // align) * align  # provably aligned
+        pr0 = d0 // pack
+        local = cdest_ref[u, :] - d0  # [chunk] in [0, chunk + align)
+        lrow = local // pack
+        lslot = local % pack
+        iota = jax.lax.broadcasted_iota(jnp.int32, (wp, chunk), 0)
+        vals_u = vals_ref[pl.ds(u * chunk, chunk), :]
+        parts = []
+        for p in range(pack):
+            mask = (
+                (iota == lrow[None, :]) & (lslot[None, :] == p)
+            ).astype(vals_u.dtype)
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if vals_u.dtype == jnp.float32
+                else None
+            )
+            parts.append(
+                jnp.dot(
+                    mask, vals_u,
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+            )
+        partial = jnp.concatenate(parts, axis=1)  # [wp, pack*K = 128]
+        out_ref[pl.ds(pr0, wp), :] = out_ref[pl.ds(pr0, wp), :] + partial
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_out", "chunk", "interpret")
+)
+def sorted_segsum_packed(
+    vals: jax.Array,  # [M, K] float, K divides 128
+    cdest: jax.Array,  # [M] int32, nondecreasing, increments <= 1
+    n_out: int,
+    chunk: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:  # [n_out, K] f32
+    """sorted_segsum for big n_out (lane-packed pinned accumulator)."""
+    vma = jax.typeof(cdest).vma | jax.typeof(vals).vma
+    interpret, chunk, _ = _resolve_interpret(interpret, vma, chunk, 8)
+    (m, k) = vals.shape
+    pack = 128 // k
+    sub = _SORTED_SUB
+    cdest2, d0s, mp = _sorted_prep(cdest, chunk)
+    if mp != m:
+        vals = jnp.pad(vals, ((0, mp - m), (0, 0)))
+    grid = mp // (chunk * sub)
+    align = 8 * pack
+    rows = _round_up(n_out + chunk + 2 * align, pack) // pack
+    out = pl.pallas_call(
+        functools.partial(
+            _sorted_segsum_packed_kernel, chunk=chunk, sub=sub, k=k,
+            pack=pack,
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (sub, chunk), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (sub * chunk, k), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, 128), lambda c: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32, vma=vma),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(d0s, cdest2, vals)
+    return out.reshape(rows * pack, k)[:n_out]
+
+
 def _sorted_seg_fits(n_out: int, k: int, chunk: int = 512) -> bool:
     return (n_out + chunk) * max(k, 128) * 4 <= _SORTED_SEG_BYTES_CAP
 
@@ -1144,11 +1244,16 @@ def make_sorted_seg(chunk: int = 512):
     (selection is 1:1), and 3x faster. Falls back to the XLA forms
     above the VMEM cap."""
 
-    def _make_pool(extra_axes, vdt):
-        # primal dtype closed over (residuals must be jax types)
+    def _make_pool(extra_axes, vdt, packed=False):
+        # primal dtype closed over (residuals must be jax types).
+        # packed: the lane-packed accumulator mid-tier — raises the
+        # pinned-output cap 128/K-fold for big pooled outputs (e.g.
+        # B=16384 x ng groups) before the XLA fallback
+        seg_fn = sorted_segsum_packed if packed else sorted_segsum
+
         @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
         def seg_pool(vals, cdest, n_out):
-            return sorted_segsum(vals, cdest, n_out, chunk=chunk)
+            return seg_fn(vals, cdest, n_out, chunk=chunk)
 
         def fwd(vals, cdest, n_out):
             return seg_pool(vals, cdest, n_out), cdest
@@ -1191,14 +1296,19 @@ def make_sorted_seg(chunk: int = 512):
     pool_cache, sel_cache = {}, {}
 
     def seg_pool(vals, cdest, n_out: int):
-        if not _sorted_seg_fits(n_out, vals.shape[-1], chunk):
+        k = vals.shape[-1]
+        packed = not _sorted_seg_fits(n_out, k, chunk)
+        if packed and not (
+            k <= 64 and 128 % k == 0
+            and fits_vmem_packed(n_out + chunk + 16 * (128 // k), k)
+        ):
             return sorted_segsum_reference(vals, cdest, n_out)
         extra = tuple(
             sorted(jax.typeof(cdest).vma - jax.typeof(vals).vma)
         )
-        key = (extra, vals.dtype)
+        key = (extra, vals.dtype, packed)
         if key not in pool_cache:
-            pool_cache[key] = _make_pool(extra, vals.dtype)
+            pool_cache[key] = _make_pool(extra, vals.dtype, packed)
         return pool_cache[key](vals, cdest, n_out)
 
     def seg_select(src, cdest):
@@ -1213,6 +1323,90 @@ def make_sorted_seg(chunk: int = 512):
         return sel_cache[key](src, cdest)
 
     return seg_pool, seg_select
+
+
+def make_sorted_bwd_expand(chunk: int = 512):
+    """expand(rows, ids) whose BACKWARD rides the idx-sorted aux stream
+    (data/sparse_batch.MhCooPacker sorted_aux=True):
+
+      fwd: rows[ids]                        (XLA gather — fastest random
+                                             row read at any S)
+      bwd: sct  = ct[perm], masked to the sorted live prefix
+           seg  = sorted_segsum_packed(sct, cidx, su)   (windowed MXU
+                                             matmuls into a lane-packed
+                                             pinned accumulator)
+           out  = zeros([S,K]).at[srows].add(seg)       (Su-row scatter)
+
+    replacing the per-slot scalar-RMW accumulate (accumulate_rows_packed,
+    ~15-19 ms at M=1.31M/S=114k) with a [M,K] permutation gather + the
+    vectorized segment sum. perm/cidx/srows pad with 0; positions >=
+    m_live in the SORTED stream are masked, so 0-sentinel bucket growth
+    is harmless (pad segments sum to zero and land additively on row
+    srows[pad]=0). Falls back to accumulate_rows_packed when the packed
+    run table exceeds the VMEM cap."""
+
+    def _make(extra_axes, su, s_rows, k, cast_bf16):
+        fits = fits_vmem_packed(su + chunk + 2 * (8 * (128 // k)), k)
+
+        @jax.custom_vjp
+        def expand(rows, ids, perm, cidx, srows, m_live):
+            return rows[ids]
+
+        def fwd(rows, ids, perm, cidx, srows, m_live):
+            return rows[ids], (ids, perm, cidx, srows, m_live)
+
+        def bwd(res, ct):
+            ids, perm, cidx, srows, m_live = res
+            if fits:
+                # cast_bf16: when the model multiplied the expanded rows
+                # in bf16, the arriving cotangent VALUES are exactly
+                # bf16-representable (they were produced as bf16 and
+                # convert-transposed up) — casting down is lossless and
+                # halves the permutation-gather bytes while the packed
+                # segsum takes its fast bf16 MXU path (f32 pays 6-pass
+                # HIGHEST and measured a wash vs the scalar accumulate)
+                sct = (
+                    ct.astype(jnp.bfloat16) if cast_bf16
+                    else ct.astype(jnp.float32)
+                )[perm]
+                sct = jnp.where(
+                    (jnp.arange(sct.shape[0]) < m_live)[:, None],
+                    sct,
+                    jnp.zeros((), sct.dtype),
+                )
+                seg = sorted_segsum_packed(sct, cidx, su, chunk=chunk)
+                d_rows = (
+                    jnp.zeros((s_rows, k), jnp.float32)
+                    .at[srows]
+                    .add(seg, mode="drop")
+                )
+            else:
+                d_rows = accumulate_rows_packed(
+                    ct.astype(jnp.float32), ids, s_rows
+                )
+            if extra_axes:
+                d_rows = jax.lax.psum(d_rows, extra_axes)
+            z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+            return (
+                d_rows, z(ids), z(perm), z(cidx), z(srows), z(m_live),
+            )
+
+        expand.defvjp(fwd, bwd)
+        return expand
+
+    cache = {}
+
+    def expand(rows, ids, perm, cidx, srows, m_live, cast_bf16=False):
+        extra = tuple(sorted(jax.typeof(ids).vma - jax.typeof(rows).vma))
+        key = (
+            extra, srows.shape[0], rows.shape[0], rows.shape[1],
+            bool(cast_bf16),
+        )
+        if key not in cache:
+            cache[key] = _make(extra, *key[1:])
+        return cache[key](rows, ids, perm, cidx, srows, m_live)
+
+    return expand
 
 
 # ------------------------------------------------------ DMA row scatter

@@ -493,8 +493,25 @@ class Harness:
                     1,
                 )
                 groups = self._mh_coo_groups
+                # idx-sorted aux stream for the sorted BACKWARD
+                # accumulate (DIN attention + Pallas kernels only).
+                # NOT under --slim_transfer: perm+cidx are ~8 B/slot of
+                # wire (~10 MB/batch at the published point) — on the
+                # link-bound paths slim serves, that costs more than the
+                # ~10 ms device win buys; the model falls back to the
+                # plain packed accumulate there.
+                saux = bool(
+                    cfg.coo_sorted_bwd
+                    and cfg.pallas_expand
+                    and self.model.wants_sorted_aux()
+                    and not cfg.slim_transfer
+                )
+                floor = max(int(cfg.mh_coo_floor), 1) if cfg.mh_coo_floor else 1024
                 chain_factories.append(
-                    lambda: MhCooPacker(groups, n_data=n_data)
+                    lambda: MhCooPacker(
+                        groups, n_data=n_data, sorted_aux=saux,
+                        floor=floor,
+                    )
                 )
             # dedup + remap on the host, pipelined with TPU compute by the
             # prefetch thread (train/sparse.py step consumes __uids_*)
@@ -630,12 +647,15 @@ class Harness:
                 rules[UIDS_PREFIX + t] = s.vocab
         if self._mh_coo_groups is not None:
             from tf_repos_tpu.data.sparse_batch import (
-                MHC_CDEST, MHC_DEST, MHC_IDX, MHC_W,
+                MHC_CDEST, MHC_CIDX, MHC_DEST, MHC_IDX, MHC_PERM,
+                MHC_SROWS, MHC_W,
             )
             from tf_repos_tpu.data.slim_wire import MHC_HI, MHC_LO
 
             rules.update({
                 MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0, MHC_CDEST: 0,
+                # idx-sorted aux (device masks positions >= sum(counts))
+                MHC_PERM: 0, MHC_CIDX: 0, MHC_SROWS: 0,
                 # compressed-wire forms (encoder inside the worker pool)
                 MHC_LO: 0, MHC_HI: 0,
             })
@@ -751,7 +771,8 @@ class Harness:
                         # compressed wire lo=hi=0, which decodes to
                         # idx 0) adds exactly zero
                         from tf_repos_tpu.data.sparse_batch import (
-                            MHC_CDEST, MHC_DEST, MHC_IDX, MHC_W,
+                            MHC_CDEST, MHC_CIDX, MHC_DEST, MHC_IDX,
+                            MHC_PERM, MHC_SROWS, MHC_W,
                         )
                         from tf_repos_tpu.data.slim_wire import (
                             MHC_HI, MHC_LO,
@@ -759,7 +780,8 @@ class Harness:
 
                         sentinels.update(
                             {MHC_IDX: 0, MHC_DEST: 0, MHC_W: 0.0,
-                             MHC_CDEST: 0, MHC_LO: 0, MHC_HI: 0}
+                             MHC_CDEST: 0, MHC_PERM: 0, MHC_CIDX: 0,
+                             MHC_SROWS: 0, MHC_LO: 0, MHC_HI: 0}
                         )
                     if self._uids_union is not None:
                         # per-batch global uid union BEFORE stacking, in
