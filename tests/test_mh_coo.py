@@ -615,6 +615,9 @@ def test_din_harness_sorted_trajectory_matches_padded(tmp_path):
             batch_size=32, learning_rate=0.01, l2_reg=1e-4, optimizer="Adam",
             num_epochs=1, multi_hot_pad=8, sparse_table_update=True,
             attention_pooling=True, mh_coo=mh_coo, pallas_expand=mh_coo,
+            # opt-in idx-sorted backward: exercises the full packer
+            # sorted_aux -> harness -> sorted_bwd_expand path
+            coo_sorted_bwd=mh_coo,
             data_dir=str(d), model_dir=str(tmp_path / tag), dt_dir="x",
             log_steps=4, eval_throttle_secs=0, seed=11,
         ))
