@@ -718,3 +718,31 @@ def test_packer_sorted_aux_contract():
         runs = np.unique(si)
         np.testing.assert_array_equal(srows[: runs.size], runs)
         assert (srows[runs.size:] == 0).all()
+
+
+def test_din_sorted_paths_empty_stream():
+    """A batch whose user multi-hot fields are ALL empty (cnt sum 0)
+    must flow through every sorted-path derivation (cdest repeat over
+    zero counts, compact placement, sorted bwd aux) and equal the padded
+    formulation exactly."""
+    from tf_repos_tpu.data.sparse_batch import MHC_CNT
+
+    cfg = _din_cfg(attention_pooling=True)
+    model = create_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    packer = MhCooPacker(model.mh_coo_groups(), sorted_aux=True)
+    lookup = PS.make_vmem_expand_lookup(chunk=128, unroll=8)
+    b = _aliccp_batches(cfg, 1, pad=4, seed0=64)[0]
+    full = dict(b)
+    for f in ("u_cat", "u_shop", "u_brand", "u_int"):
+        full[f + "ids"] = np.zeros_like(full[f + "ids"])
+        full[f + "vals"] = np.zeros_like(full[f + "vals"])
+    packed = packer(dict(full))
+    assert int(packed[MHC_CNT].sum()) == 0
+    jb = {k: jnp.asarray(v) for k, v in packed.items()}
+    out_pad, _ = model.apply(params, state, full, train=False)
+    out_coo, _ = model.apply(params, state, jb, train=False, lookup=lookup)
+    np.testing.assert_allclose(
+        np.asarray(out_pad["logits"]), np.asarray(out_coo["logits"]),
+        rtol=1e-6, atol=1e-7,
+    )
