@@ -473,3 +473,32 @@ def test_iter_dict_batches_block_shuffle_covers_all_rows():
     assert cnt[1:].max() == 1 and cnt[1:].min() == 1
     assert cnt[0] >= 1  # row 0 plus any zero padding
     assert not np.array_equal(rows[: len(ref)], ref)  # actually shuffled
+
+
+def test_iter_dict_batches_block_shuffle_nb_zero_phase_keeps_rows():
+    """Regression (code-review round 5): a wide chunk with B < n < 2B
+    could draw a phase > n - B, making nb == 0 — the branch then fell
+    through and silently DROPPED the whole chunk. The phase is now
+    clamped so at least one full block survives; every row must be
+    emitted for every seed."""
+    import numpy as np
+
+    from tf_repos_tpu.data.pipeline import iter_dict_batches
+
+    B, n = 8, 11  # B < n < 2B
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        chunks = [
+            {
+                "y": np.arange(1, n + 1, dtype=np.int64),
+                "wide": np.zeros((n, 262144), np.int8),  # forces the path
+            }
+        ]
+        rows = np.concatenate([
+            np.asarray(b["y"]) for b in iter_dict_batches(
+                iter(chunks), batch_size=B, row_key="y", nprng=rng,
+                shuffle=True,
+            )
+        ])
+        cnt = np.bincount(rows, minlength=n + 1)
+        assert cnt[1:].min() == 1 and cnt[1:].max() == 1, (seed, rows)

@@ -299,7 +299,11 @@ def iter_dict_batches(
             # within-batch order is irrelevant to the summed gradient.
             # The reference's own window is 256 samples (shuffle(256),
             # DeepFM.py:74) — block mixing at B >= 4096 is no weaker.
-            phase = int(nprng.integers(0, B))
+            # clamp the phase so at least one full block survives: with
+            # B < n < 2B an unclamped phase > n - B gives nb == 0 and
+            # the branch below would fall through to `continue`,
+            # silently DROPPING the whole chunk (code-review round 5)
+            phase = int(nprng.integers(0, min(B, n - B + 1)))
             nb = (n - phase) // B
             if nb > 0:
                 order = nprng.permutation(nb)

@@ -172,6 +172,26 @@ MHC_HI = "__mhc_hi"
 from tf_repos_tpu.data.sparse_batch import MHC_CNT  # noqa: E402
 
 
+class SharedWireState:
+    """First-batch wire-contract decisions shared across the
+    --map_workers pool's per-worker encoder instances. Without it each
+    worker commits its OWN first batch (divergent droppable-vals
+    verdicts → spurious mid-run ValueError) and picks the idx encoding
+    from its OWN mapper's uids bucket (divergent key sets
+    {__mhc_idx} vs {__mhc_lo,__mhc_hi} trip the dispatcher's same-keys
+    fallback every alternation). One instance per ITERATOR, handed to
+    every worker's encoder (code-review round 5)."""
+
+    def __init__(self):
+        import threading
+
+        self.lock = threading.Lock()
+        self.drop: Optional[Dict[str, bool]] = None
+        self.drop_w: Optional[bool] = None
+        self.cnt_ok: Optional[bool] = None
+        self.bound: int = 0  # monotonic max id bound (encoding form)
+
+
 class AliccpSlimEncoder:
     """Host-side Ali-CCP slim encoder (prefetch thread; runs AFTER the
     dedup mapper and the --mh_coo packer, whose outputs it narrows).
@@ -179,17 +199,43 @@ class AliccpSlimEncoder:
     vocab: the id bound for non-mapped batches (cfg.feature_size).
     compress_coo: split the COO idx into lo/hi and replace dest with
     per-(field,row) counts (see module comment); disable under
-    multi-host, where GlobalUidsUnion must rewrite the raw idx."""
+    multi-host, where GlobalUidsUnion must rewrite the raw idx.
+    shared: SharedWireState when several worker-local encoders feed one
+    stream (--map_workers)."""
 
     def __init__(self, vocab: int, compress_coo: bool = True,
-                 n_groups: int = 0):
+                 n_groups: int = 0,
+                 shared: Optional[SharedWireState] = None):
         self.vocab = int(vocab)
         self.compress_coo = bool(compress_coo)
         self.n_groups = int(n_groups)
-        self._drop: Optional[Dict[str, bool]] = None
-        self._drop_w: Optional[bool] = None
+        self._shared = shared if shared is not None else SharedWireState()
         self._narrow_dest: Optional[bool] = None
-        self._cnt_ok: Optional[bool] = None
+
+    # first-batch commitments live in the (possibly shared) state
+    @property
+    def _drop(self):
+        return self._shared.drop
+
+    @_drop.setter
+    def _drop(self, v):
+        self._shared.drop = v
+
+    @property
+    def _drop_w(self):
+        return self._shared.drop_w
+
+    @_drop_w.setter
+    def _drop_w(self, v):
+        self._shared.drop_w = v
+
+    @property
+    def _cnt_ok(self):
+        return self._shared.cnt_ok
+
+    @_cnt_ok.setter
+    def _cnt_ok(self, v):
+        self._shared.cnt_ok = v
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         from tf_repos_tpu.data.sparse_batch import MHC_DEST, MHC_IDX, MHC_W
@@ -201,15 +247,19 @@ class AliccpSlimEncoder:
         # ---- multi-hot vals (padded path): drop the binary ones
         present = [f for f in ALICCP_VAL_GROUPS if f + "vals" in batch]
         if self._drop is None:
-            self._drop = {
-                f: bool(
-                    np.array_equal(
-                        np.asarray(batch[f + "vals"]),
-                        (np.asarray(batch[f + "ids"]) > 0).astype(np.float32),
-                    )
-                )
-                for f in present
-            }
+            with self._shared.lock:
+                if self._drop is None:
+                    self._drop = {
+                        f: bool(
+                            np.array_equal(
+                                np.asarray(batch[f + "vals"]),
+                                (np.asarray(batch[f + "ids"]) > 0).astype(
+                                    np.float32
+                                ),
+                            )
+                        )
+                        for f in present
+                    }
         for f in present:
             if not self._drop.get(f, False):
                 continue
@@ -229,7 +279,9 @@ class AliccpSlimEncoder:
             w = np.asarray(batch[MHC_W])
             live = (idx > 0).astype(np.float32)
             if self._drop_w is None:
-                self._drop_w = bool(np.array_equal(w, live))
+                with self._shared.lock:
+                    if self._drop_w is None:
+                        self._drop_w = bool(np.array_equal(w, live))
             if self._drop_w:
                 if not np.array_equal(w, live):
                     raise ValueError(
@@ -246,6 +298,13 @@ class AliccpSlimEncoder:
             if uids_keys
             else self.vocab
         )
+        # the encoding FORM (u16 idx vs lo/hi split vs u8-high) must be
+        # identical across the worker pool even while per-worker mapper
+        # buckets diverge — take the monotonic max bound over all
+        # workers, so the form switches at most twice per run globally
+        with self._shared.lock:
+            self._shared.bound = max(self._shared.bound, int(bound))
+            bound = self._shared.bound
         # ---- dest -> per-(field,row) counts, BEFORE the idx split (the
         # raw idx's nonzero prefix is the exact live-slot extent)
         if (
@@ -283,7 +342,9 @@ class AliccpSlimEncoder:
                     break
                 cnts[s] = c.astype(np.uint16).reshape(ngr, bs)
             if self._cnt_ok is None:
-                self._cnt_ok = ok
+                with self._shared.lock:
+                    if self._cnt_ok is None:
+                        self._cnt_ok = ok
             if self._cnt_ok:
                 if not ok:
                     raise ValueError(
@@ -356,9 +417,12 @@ def decode_aliccp_batch(batch: Batch) -> Batch:
         if hi.shape[-1] != m:  # bit-packed 17th bit
             hi = jnp.unpackbits(hi, axis=-1, count=m)
         out[MHC_IDX] = lo | (hi.astype(jnp.int32) << 16)
-    if MHC_CNT in out:
+    if MHC_CNT in out and MHC_DEST not in out:
         # kept in the decoded batch: the sorted-window attention path
-        # (models/din.py) derives its compact segment ids from it
+        # (models/din.py) derives its compact segment ids from it. When
+        # the authoritative dest WAS shipped (multi-host slim,
+        # compress_coo=False) it stays — rebuilding would discard the
+        # transferred bytes and silently mask any dest/cnt drift.
         cnt = out[MHC_CNT] = out[MHC_CNT].astype(jnp.int32)  # [nd,ngr,bs]
         nd, ngr, bs = cnt.shape
         m = out[MHC_IDX].shape[-1]

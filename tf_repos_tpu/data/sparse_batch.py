@@ -281,7 +281,7 @@ class MhCooPacker:
     slots) or the XLA .at[].add fallback — models/esmm.py."""
 
     def __init__(self, groups, n_data: int = 1, floor: int = 1024,
-                 sorted_aux: bool = False):
+                 sorted_aux: bool = False, cdest_aux: bool = True):
         if not groups:
             raise ValueError("--mh_coo: model declares no multi-hot groups")
         self.groups = tuple(groups)  # ((field, has_vals), ...)
@@ -292,6 +292,11 @@ class MhCooPacker:
         # (DIN attention); costs an O(M) radix argsort per batch on the
         # host, so it is opt-in
         self.sorted_aux = bool(sorted_aux)
+        # emit the compact-segment stream (__mhc_cdest, 4 B/slot) — the
+        # sorted-window attention path's index stream. Models that keep
+        # the fused coo_pool (ESMM) never read it; the harness gates it
+        # on the consumer so their wire does not carry dead bytes.
+        self.cdest_aux = bool(cdest_aux)
         self._sbucket = 512
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -349,14 +354,15 @@ class MhCooPacker:
                 m += ia.size
         batch[MHC_IDX], batch[MHC_DEST], batch[MHC_W] = idx, dest, w
         batch[MHC_CNT] = cnt
-        cd = np.zeros((nd, bucket), np.int32)
-        for s in range(nd):
-            cf = cnt[s].reshape(-1)
-            nzr = cf > 0
-            c_of = (np.cumsum(nzr) - 1).astype(np.int32)
-            live = np.repeat(np.maximum(c_of, 0), cf)
-            cd[s, : live.size] = live
-        batch[MHC_CDEST] = cd
+        if self.cdest_aux:
+            cd = np.zeros((nd, bucket), np.int32)
+            for s in range(nd):
+                cf = cnt[s].reshape(-1)
+                nzr = cf > 0
+                c_of = (np.cumsum(nzr) - 1).astype(np.int32)
+                live = np.repeat(np.maximum(c_of, 0), cf)
+                cd[s, : live.size] = live
+            batch[MHC_CDEST] = cd
         if self.sorted_aux:
             perm = np.zeros((nd, bucket), np.int32)
             cidx = np.zeros((nd, bucket), np.int32)

@@ -105,6 +105,13 @@ class CtrModel:
         sequence, not a sum-pool)."""
         return ()
 
+    def wants_sorted_seg(self) -> bool:
+        """True when the model's COO pooling rides the sorted-window
+        segment kernels (needs the packer's cdest stream on the wire —
+        4 B/slot; models that keep the fused coo_pool should not pay
+        it). DIN attention only."""
+        return False
+
     def wants_sorted_aux(self) -> bool:
         """True when the model's COO backward rides the idx-sorted aux
         stream (packer sorted_aux — perm/cidx/srows; costs an O(M) host

@@ -405,5 +405,8 @@ class DIN(CtrModel):
     def mh_coo_groups(self):
         return MH_COO_GROUPS
 
+    def wants_sorted_seg(self) -> bool:
+        return bool(self.cfg.attention_pooling)
+
     def wants_sorted_aux(self) -> bool:
         return bool(self.cfg.attention_pooling)

@@ -1259,11 +1259,15 @@ def make_sorted_seg(chunk: int = 512):
             return seg_pool(vals, cdest, n_out), cdest
 
         def bwd(n_out, cdest, ct):
-            if vdt == jnp.bfloat16:
+            if vdt == jnp.bfloat16 and not packed:
                 d_vals = sorted_expand(
                     ct.astype(jnp.bfloat16), cdest, chunk=chunk
                 )
             else:
+                # packed tier: the pool output is exactly the size that
+                # FAILED the unpacked pinned-VMEM check — the Pallas
+                # expand would pin it as its source and blow the VMEM
+                # budget at trace time; XLA's gather covers it
                 d_vals = sorted_expand_reference(ct, cdest).astype(vdt)
             if extra_axes:
                 d_vals = jax.lax.psum(d_vals, extra_axes)

@@ -507,10 +507,13 @@ class Harness:
                     and not cfg.slim_transfer
                 )
                 floor = max(int(cfg.mh_coo_floor), 1) if cfg.mh_coo_floor else 1024
+                cdaux = bool(
+                    cfg.pallas_expand and self.model.wants_sorted_seg()
+                )
                 chain_factories.append(
                     lambda: MhCooPacker(
                         groups, n_data=n_data, sorted_aux=saux,
-                        floor=floor,
+                        floor=floor, cdest_aux=cdaux,
                     )
                 )
             # dedup + remap on the host, pipelined with TPU compute by the
@@ -526,13 +529,21 @@ class Harness:
                 # point); single-process only — multi-host keeps the
                 # encoder after GlobalUidsUnion-compatible ordering
                 if input_format(self.model) == "aliccp":
-                    from tf_repos_tpu.data.slim_wire import AliccpSlimEncoder
+                    from tf_repos_tpu.data.slim_wire import (
+                        AliccpSlimEncoder,
+                        SharedWireState,
+                    )
 
                     vocab = cfg.feature_size
                     ngr = len(self._mh_coo_groups or ())
+                    # ONE wire-contract state for the whole worker pool:
+                    # per-worker first-batch commits diverge (spurious
+                    # mid-run contract errors, alternating idx encodings)
+                    sws = SharedWireState()
                     chain_factories.append(
                         lambda: AliccpSlimEncoder(
-                            vocab, compress_coo=True, n_groups=ngr
+                            vocab, compress_coo=True, n_groups=ngr,
+                            shared=sws,
                         )
                     )
                     slim_in_chain = True
@@ -1029,6 +1040,12 @@ class Harness:
         cfg = self.cfg
         fmt = input_format(self.model)
         files = self._glob_split("te")
+        if not files:
+            # same loud failure as the single-process path — an
+            # IndexError below would kill hosts mid-collective
+            raise FileNotFoundError(
+                f"task_type=infer: no te* input files in {cfg.data_dir}"
+            )
         pidx, nproc = jax.process_index(), jax.process_count()
         parts_dir = out_path + ".parts"
         if pidx == 0:
