@@ -507,8 +507,13 @@ class Harness:
                     and not cfg.slim_transfer
                 )
                 floor = max(int(cfg.mh_coo_floor), 1) if cfg.mh_coo_floor else 1024
+                # not under slim: the encoder drops cdest from the wire
+                # (the device rebuilds it from the counts), so emitting
+                # it would only burn host time in the packer
                 cdaux = bool(
-                    cfg.pallas_expand and self.model.wants_sorted_seg()
+                    cfg.pallas_expand
+                    and self.model.wants_sorted_seg()
+                    and not cfg.slim_transfer
                 )
                 chain_factories.append(
                     lambda: MhCooPacker(
