@@ -164,9 +164,14 @@ def main(argv=None):
                     continue
                 if "examples_per_sec" in rec:
                     rates.append(rec["examples_per_sec"])
+    # steady-state: drop the first half of the windows (compile + cache
+    # build dominate them; short runs have ~5 windows total, so a plain
+    # median under-reports the sustained rate by up to 2x)
+    steady = rates[len(rates) // 2 :]
     out = {
         "metric": f"{a.model}_e2e_cli_examples_per_sec",
         "value": round(statistics.median(rates), 1) if rates else None,
+        "steady": round(statistics.median(steady), 1) if steady else None,
         "unit": "examples/sec",
         "windows": len(rates),
         "p90": round(sorted(rates)[int(0.9 * (len(rates) - 1))], 1) if rates else None,

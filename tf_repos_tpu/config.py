@@ -333,6 +333,12 @@ PRESETS = {
     # fused_moments in round 5 once it became mesh-aware ([V_local,3K]
     # per shard; parallel/sparse_step.py). Adam-only — override
     # --fused_table=false --fused_moments=true for other optimizers.
+    # The fastest measured step adds --dma_scatter (ESMM published
+    # 58.1 -> 43.9 ms) but forces f32 lane-padded storage — 5.3x the
+    # bf16 preset's table HBM/checkpoint at K=16. The preset keeps the
+    # bf16 storage default (memory was the reference's stated pain at
+    # this vocab); pass --dma_scatter --param_dtype=float32 when step
+    # time matters more than capacity.
     "esmm_large_vocab": dict(
         batch_size=4096, sparse_table_update=True, pallas_expand=True,
         mh_coo=True, mh_bucket="pow2", fused_table=True,
