@@ -264,3 +264,31 @@ def test_coo_counts_multihost_gate_and_fallback():
     )(dict(b2))
     assert MHC_CNT not in wire2 and MHC_DEST in wire2
     assert MHC_CDEST not in wire2
+
+
+def test_shared_wire_state_across_encoders():
+    """--map_workers: per-worker encoders share first-batch commitments
+    through SharedWireState — a second encoder must ADOPT the first's
+    droppable-vals verdict (and fail loudly on a contradicting stream)
+    instead of committing its own."""
+    from tf_repos_tpu.data.slim_wire import AliccpSlimEncoder, SharedWireState
+
+    cfg = Config(model="ESMM", feature_size=400, field_size=11,
+                 embedding_size=4, deep_layers="8,4", dropout="1.0,1.0",
+                 batch_size=8, multi_hot_pad=4)
+    model = create_model(cfg)
+    mapper = SparseBatchMapper(model.sparse_slots())
+    sws = SharedWireState()
+    enc1 = AliccpSlimEncoder(400, n_groups=len(model.mh_coo_groups()), shared=sws)
+    enc2 = AliccpSlimEncoder(400, n_groups=len(model.mh_coo_groups()), shared=sws)
+    b1 = mapper(_batch(0))  # synthetic vals are the binary live mask
+    w1 = enc1(dict(b1))
+    assert "u_catvals" not in w1  # committed droppable
+    # a contradicting batch through the OTHER encoder instance
+    b2 = dict(mapper(_batch(1)))
+    b2["u_catvals"] = np.asarray(b2["u_catvals"]) * 2.0
+    with pytest.raises(ValueError, match="binary live mask"):
+        enc2(b2)
+    # and a conforming batch through enc2 encodes fine
+    w2 = enc2(dict(mapper(_batch(2))))
+    assert "u_catvals" not in w2

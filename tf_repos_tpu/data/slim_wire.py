@@ -180,7 +180,13 @@ class SharedWireState:
     from its OWN mapper's uids bucket (divergent key sets
     {__mhc_idx} vs {__mhc_lo,__mhc_hi} trip the dispatcher's same-keys
     fallback every alternation). One instance per ITERATOR, handed to
-    every worker's encoder (code-review round 5)."""
+    every worker's encoder (code-review round 5).
+
+    The committing batch is whichever worker takes the lock first — not
+    necessarily stream batch 0. Either outcome stays correct: a
+    non-droppable first commit just keeps the vals on the wire (less
+    compression), a droppable commit makes any later contradicting
+    batch fail loudly (same as the serial encoder mid-run)."""
 
     def __init__(self):
         import threading
