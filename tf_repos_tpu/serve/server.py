@@ -387,6 +387,13 @@ def _predictions_payload(out: Dict[str, np.ndarray]) -> List:
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS=cpu on rigs whose sitecustomize pins a TPU
+    # platform (the env var alone does not switch backends there — the
+    # CLI entry points all do this; the server was the one that didn't,
+    # and with the device tunnel down it hung on backend init)
+    from tf_repos_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--servable_model_dir", required=True)
     p.add_argument("--host", default="0.0.0.0")
