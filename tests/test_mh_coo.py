@@ -746,3 +746,22 @@ def test_din_sorted_paths_empty_stream():
         np.asarray(out_pad["logits"]), np.asarray(out_coo["logits"]),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_mh_coo_floor_presizes_bucket():
+    """--mh_coo_floor pre-sizes the packer's M bucket (each quarter-pow2
+    ladder step recompiles the scan program — minutes per DIN compile
+    through a remote-compile path)."""
+    cfg = _esmm_cfg()
+    model = create_model(cfg)
+    packer = MhCooPacker(model.mh_coo_groups(), floor=4096)
+    b = packer(dict(_aliccp_batches(cfg, 1, pad=4, seed0=5)[0]))
+    assert b[MHC_IDX].shape[-1] == 4096  # floor, not the tiny live count
+
+    # and the harness wires cfg.mh_coo_floor through (smoke via config)
+    from tf_repos_tpu.config import Config
+
+    c = Config(model="ESMM", feature_size=400, field_size=11,
+               embedding_size=4, deep_layers="8,4", dropout="1.0,1.0",
+               mh_coo=True, sparse_table_update=True, mh_coo_floor=2048)
+    assert c.mh_coo_floor == 2048
