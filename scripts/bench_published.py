@@ -54,7 +54,7 @@ def make_batches(model_name, vocab, batch_size, pad, zipf, n=3, scale=1.0):
 
 def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
           n_steps=12, scale=1.0, attention=True, fused_bf16=False,
-          fused_table=False, dma_scatter=False):
+          fused_table=False, dma_scatter=False, combine=False):
     import jax
     import jax.numpy as jnp
 
@@ -97,7 +97,12 @@ def bench(model_name, vocab, batch_size, pad, zipf, coo, bucket,
 
     bucketer = MhPadBucketer(MH_PAIRS) if bucket else None
     mapper = SparseBatchMapper(model.sparse_slots())
-    packer = MhCooPacker(model.mh_coo_groups()) if coo else None
+    # --mh_coo_combine (round 6): host-side duplicate-(row,id) weight
+    # combine — exact for sum combiners; 1.85x fewer live slots here
+    packer = (
+        MhCooPacker(model.mh_coo_groups(), combine=combine)
+        if coo else None
+    )
     host, t0 = [], time.perf_counter()
     for b in raw:
         if bucketer is not None:
@@ -185,6 +190,10 @@ CELLS = {
     # and the scatter 23.1 -> 10.96 (microbench); these cells measure
     # the full step
     "esmm_coo_dma": ("ESMM", 512, 1.2, True, False, True, False, True, True),
+    # + --mh_coo_combine (round 6): duplicate (row,id) weights summed on
+    # the host (C++ per-row hash) — exact for ESMM's sum combiners,
+    # 1.85x fewer live COO slots at this regime
+    "esmm_coo_dma_combine": ("ESMM", 512, 1.2, True, False, True, False, True, True, True),
     "din_att_coo_dma": ("DIN", 512, 1.2, True, True, True, False, True, True),
     # zipf 1.5: 16k unique -> the Pallas VMEM path ENGAGES (cap boundary)
     "esmm_coo_z15": ("ESMM", 512, 1.5, True, False, True),
@@ -217,7 +226,8 @@ def main():
                          n_steps=n, scale=scale, attention=att,
                          fused_bf16=bool(extra[0:1] and extra[0]),
                          fused_table=bool(extra[1:2] and extra[1]),
-                         dma_scatter=bool(extra[2:3] and extra[2]))
+                         dma_scatter=bool(extra[2:3] and extra[2]),
+                         combine=bool(extra[3:4] and extra[3]))
         if memo_path:
             json.dump(out, open(memo_path, "w"))
         print(json.dumps({tag: out[tag]}), flush=True)

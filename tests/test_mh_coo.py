@@ -765,3 +765,166 @@ def test_mh_coo_floor_presizes_bucket():
                embedding_size=4, deep_layers="8,4", dropout="1.0,1.0",
                mh_coo=True, sparse_table_update=True, mh_coo_floor=2048)
     assert c.mh_coo_floor == 2048
+
+
+# ------------------------------------------------- --mh_coo_combine
+def test_combine_dups_native_matches_numpy_fallback():
+    """The C++ per-row hash (data/native_src/coo_combine.cpp) and the
+    np.unique fallback combine the same (row, id) sets with the same
+    summed weights (emission order differs: first-seen vs ascending)."""
+    from tf_repos_tpu.data import native
+    from tf_repos_tpu.data.sparse_batch import combine_dups
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    b, p = 64, 32
+    a = np.where(
+        rng.random((b, p)) < 0.7, rng.integers(1, 40, (b, p)), 0
+    ).astype(np.int32)
+    v = rng.random((b, p)).astype(np.float32)
+    for vals in (v, None):
+        ni, nw, nc = native.combine_dups(a, vals)
+        # numpy fallback, forced
+        fa = a.reshape(-1)
+        lv = np.flatnonzero(fa > 0)
+        w = (
+            vals.reshape(-1)[lv].astype(np.float32)
+            if vals is not None
+            else np.ones(lv.size, np.float32)
+        )
+        key = ((lv // p).astype(np.int64) << 32) | fa[lv].astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        wc = np.bincount(inv, weights=w).astype(np.float32)
+        ids_np = (uk & 0xFFFFFFFF).astype(np.int32)
+        cnt_np = np.bincount(
+            (uk >> 32).astype(np.int64), minlength=b
+        ).astype(np.int32)
+        assert np.array_equal(nc, cnt_np)
+        off = np.concatenate([[0], np.cumsum(nc)])
+        for r in range(b):
+            s = slice(off[r], off[r + 1])
+            o1, o2 = np.argsort(ni[s]), np.argsort(ids_np[s])
+            assert np.array_equal(ni[s][o1], ids_np[s][o2])
+            np.testing.assert_allclose(nw[s][o1], wc[s][o2], atol=1e-5)
+
+
+def test_packer_combine_pooled_equals_plain():
+    """combine=True sums duplicate (row, id) weights — the pooled
+    segment sums are EXACTLY the plain packer's (sum combiner is linear
+    in w), with fewer live slots whenever a row repeats an id."""
+    cfg = _esmm_cfg()
+    model = create_model(cfg)
+    groups = model.mh_coo_groups()
+    # force duplicates: small vocab, wide pad
+    rng = np.random.default_rng(9)
+    b = synthetic_aliccp_batch(rng, 16, 50, multi_hot_pad=16)
+    p0 = MhCooPacker(groups, combine=False)(dict(b))
+    p1 = MhCooPacker(groups, combine=True)(dict(b))
+    m0 = int((p0[MHC_W] != 0).sum())
+    m1 = int((p1[MHC_W] != 0).sum())
+    assert m1 < m0  # duplicates existed and were combined
+    n_out = 16 * len(groups)
+    table = jnp.asarray(
+        np.random.default_rng(1).standard_normal((51, 4)), jnp.float32
+    )
+
+    def pool(pk):
+        return np.asarray(
+            xla_coo_pool(
+                table,
+                jnp.asarray(pk[MHC_IDX].reshape(-1)),
+                jnp.asarray(pk[MHC_DEST].reshape(-1)),
+                jnp.asarray(pk[MHC_W].reshape(-1)),
+                n_out,
+            )
+        )
+
+    np.testing.assert_allclose(pool(p0), pool(p1), rtol=1e-5, atol=1e-6)
+    # counts reflect COMBINED slots (the slim wire rebuilds dest from
+    # them via repeat — they must match the emitted stream)
+    from tf_repos_tpu.data.sparse_batch import MHC_CNT
+
+    assert int(p1[MHC_CNT].sum()) == m1
+
+
+def test_harness_combine_trajectory_matches_plain(tmp_path):
+    """Full-harness ESMM: --mh_coo_combine (default on) == combine off
+    to float tolerance — the flag is exact, not approximate."""
+    from tf_repos_tpu.data.synthetic import write_synthetic_aliccp
+    from tf_repos_tpu.train.harness import run_task
+
+    d = tmp_path / "data"
+    d.mkdir()
+    write_synthetic_aliccp(str(d / "tr.samples.txt"), 256, feature_size=50, seed=0)
+    write_synthetic_aliccp(str(d / "va.samples.txt"), 64, feature_size=50, seed=1)
+
+    def run(combine: bool, tag: str):
+        return run_task(Config(
+            model="ESMM", feature_size=50, field_size=11, embedding_size=4,
+            deep_layers="8,4", dropout="1.0,1.0", batch_size=32,
+            learning_rate=0.01, l2_reg=1e-4, optimizer="Adam",
+            num_epochs=1, multi_hot_pad=8, sparse_table_update=True,
+            mh_coo=True, mh_coo_combine=combine, data_dir=str(d),
+            model_dir=str(tmp_path / tag), dt_dir="x", log_steps=4,
+            eval_throttle_secs=0, seed=7,
+        ))
+
+    m_c = run(True, "comb")
+    m_p = run(False, "plain")
+    assert m_c["step"] == m_p["step"]
+    assert abs(m_c["loss"] - m_p["loss"]) < 1e-4
+    for k in ("CTR_AUC", "CVR_AUC", "CTCVR_AUC"):
+        assert abs(m_c[k] - m_p[k]) < 1e-4
+
+
+def test_din_attention_auto_disables_combine(tmp_path, capsys):
+    """DIN attention consumes w NONLINEARLY (sigmoid MLP over w * emb,
+    DIN.py:152-173): the harness must auto-disable --mh_coo_combine and
+    say so; the existing DIN trajectory-vs-padded tests prove the math
+    stays the padded math."""
+    cfg = _din_cfg(attention_pooling=True)
+    model = create_model(cfg)
+    assert not model.coo_combine_ok()
+    assert create_model(_din_cfg(attention_pooling=False)).coo_combine_ok()
+    assert create_model(_esmm_cfg()).coo_combine_ok()
+
+
+def test_combine_with_slim_wire_keeps_w(tmp_path):
+    """--mh_coo_combine + --slim_transfer: the encoder must NOT latch
+    the binary-w drop (a no-duplicate first batch would commit it, a
+    later duplicate batch would fail the mid-run contract); trajectory
+    equals the non-slim run."""
+    from tf_repos_tpu.data.slim_wire import AliccpSlimEncoder
+    from tf_repos_tpu.data.sparse_batch import MHC_W
+
+    cfg = _esmm_cfg()
+    model = create_model(cfg)
+    groups = model.mh_coo_groups()
+    rng = np.random.default_rng(3)
+    # batch WITHOUT duplicates (tiny pad): binary w stream
+    b = synthetic_aliccp_batch(rng, 8, 10_000, multi_hot_pad=2)
+    # make every vals binary so w would be droppable without combine
+    for f, hv in groups:
+        if hv:
+            b[f + "vals"] = (b[f + "ids"] > 0).astype(np.float32)
+    packed = MhCooPacker(groups, combine=True)(dict(b))
+    enc = AliccpSlimEncoder(10_000, compress_coo=True,
+                            n_groups=len(groups), drop_w_ok=False)
+    out = enc(dict(packed))
+    assert MHC_W in out  # kept despite the binary first batch
+
+
+def test_slim_wrapper_forwards_coo_hooks():
+    """SlimWireModel must forward the COO capability hooks — a missed
+    delegation silently disabled --mh_coo_combine for every
+    --slim_transfer run (found driving the CLI, round 6)."""
+    from tf_repos_tpu.data.slim_wire import SlimWireModel
+
+    esmm = create_model(_esmm_cfg())
+    assert SlimWireModel(esmm).coo_combine_ok() is True
+    din = create_model(_din_cfg(attention_pooling=True))
+    w = SlimWireModel(din)
+    assert w.coo_combine_ok() is False
+    assert w.wants_sorted_seg() is True
+    assert w.wants_sorted_aux() is True

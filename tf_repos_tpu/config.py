@@ -204,6 +204,17 @@ class Config:
     # round-5 DIN e2e measured compile-bound without it). 0 = default
     # floor 1024 + ladder.
     mh_coo_floor: int = 0
+    # combine duplicate (row, id) pairs per multi-hot field on the host
+    # before the COO pack, summing their weights (data/sparse_batch.
+    # combine_dups: C++ per-row hash, np.unique fallback). EXACT for sum
+    # combiners (linear in w — reference embedding_lookup_sparse
+    # combiner="sum") up to float order; measured 1.85x fewer live slots
+    # at the published Ali-CCP regime (avg 250 ids/sample, Zipf 1.2) —
+    # every M-proportional device op and wire byte shrinks by the dup
+    # factor. Auto-disabled (with a warning) when the model's COO
+    # consumers are nonlinear in w (model.coo_combine_ok() False: DIN
+    # attention scores each slot from w * emb through a sigmoid MLP).
+    mh_coo_combine: bool = True
     # opt-in idx-sorted COO backward (packer perm/cidx/srows aux + the
     # lane-packed windowed segment sum replacing the per-slot backward
     # accumulate). MEASURED 4 ms SLOWER at the published DIN point

@@ -20,6 +20,7 @@ _SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native_src"
 _SRCS = [
     os.path.join(_SRC_DIR, "libsvm_parser.cpp"),
     os.path.join(_SRC_DIR, "aliccp_parser.cpp"),
+    os.path.join(_SRC_DIR, "coo_combine.cpp"),
 ]
 _LIB_PATH = os.path.join(_SRC_DIR, "native_parsers.so")
 
@@ -113,6 +114,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.combine_dups.restype = ctypes.c_int64
+        lib.combine_dups.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
@@ -222,6 +233,39 @@ def _parse_aliccp_core(lib, blob: bytes, offsets: np.ndarray, n: int, p: int):
         out[f"{f}ids"] = u_ids[:, i]
         out[f"{f}vals"] = u_vals[:, i]
     return out
+
+
+def combine_dups(
+    ids: np.ndarray, vals: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row duplicate-id combine for the COO pack (--mh_coo).
+
+    ids [b, p] int32 (id <= 0 dead); vals [b, p] float or None (None =>
+    weight 1.0 per occurrence). Returns (flat combined ids, flat combined
+    weights, per-row combined counts) — row-major compact, first-seen
+    order inside a row. Exact for sum combiners up to float order
+    (reference DeepCvrMTL.py:155-159 combiner="sum")."""
+    lib = _load()
+    b, p = ids.shape
+    ids_c = np.ascontiguousarray(ids, np.int32)
+    out_ids = np.empty(b * p, np.int32)
+    out_w = np.empty(b * p, np.float32)
+    out_cnt = np.empty(b, np.int32)
+    if vals is not None:
+        vals_c = np.ascontiguousarray(vals, np.float32)
+        vp = vals_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    else:
+        vp = ctypes.POINTER(ctypes.c_float)()
+    m = lib.combine_dups(
+        ids_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vp,
+        b,
+        p,
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out_ids[:m], out_w[:m], out_cnt
 
 
 def parse_libsvm_blob(

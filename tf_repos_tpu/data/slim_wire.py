@@ -211,12 +211,21 @@ class AliccpSlimEncoder:
 
     def __init__(self, vocab: int, compress_coo: bool = True,
                  n_groups: int = 0,
-                 shared: Optional[SharedWireState] = None):
+                 shared: Optional[SharedWireState] = None,
+                 drop_w_ok: bool = True):
         self.vocab = int(vocab)
         self.compress_coo = bool(compress_coo)
         self.n_groups = int(n_groups)
         self._shared = shared if shared is not None else SharedWireState()
         self._narrow_dest: Optional[bool] = None
+        if not drop_w_ok:
+            # --mh_coo_combine: duplicate-(row,id) weights are SUMMED on
+            # the host, so w is a count (not the binary live mask) for
+            # mask-only groups whenever a row repeats an id. A first
+            # batch that happens to have no duplicates would latch
+            # drop_w=True and a later duplicate batch would fail the
+            # mid-run contract check — commit non-droppable up front.
+            self._shared.drop_w = False
 
     # first-batch commitments live in the (possibly shared) state
     @property
@@ -454,12 +463,13 @@ def decode_aliccp_batch(batch: Batch) -> Batch:
 
 
 def aliccp_encoding_batches(it, vocab: int, compress_coo: bool = True,
-                            n_groups: int = 0):
+                            n_groups: int = 0, drop_w_ok: bool = True):
     """Wrap a batch iterator with the Ali-CCP slim encoder (one encoder
     per iterator: the droppable-vals contract is committed on the first
     batch and enforced afterwards)."""
     enc = AliccpSlimEncoder(
-        vocab, compress_coo=compress_coo, n_groups=n_groups
+        vocab, compress_coo=compress_coo, n_groups=n_groups,
+        drop_w_ok=drop_w_ok,
     )
     for b in it:
         yield enc(b)
@@ -535,6 +545,15 @@ class SlimWireModel(CtrModel):
 
     def mh_coo_groups(self):
         return self.inner.mh_coo_groups()
+
+    def coo_combine_ok(self) -> bool:
+        return self.inner.coo_combine_ok()
+
+    def wants_sorted_seg(self) -> bool:
+        return self.inner.wants_sorted_seg()
+
+    def wants_sorted_aux(self) -> bool:
+        return self.inner.wants_sorted_aux()
 
     def per_example_loss(self, out: Outputs, batch: Batch):
         # decode first: the eval/predict steps hand these the RAW wire

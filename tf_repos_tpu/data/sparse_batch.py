@@ -23,7 +23,7 @@ allocated once and reused: fresh ~20MB allocations page-fault at
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Iterator
+from typing import Dict, Iterable, Iterator, Optional
 
 import numpy as np
 
@@ -138,6 +138,41 @@ class SparseBatchMapper:
 def mapped_batches(it: Iterable, mapper) -> Iterator:
     for b in it:
         yield mapper(b)
+
+
+def combine_dups(a: np.ndarray, v: "Optional[np.ndarray]" = None):
+    """Combine duplicate ids within each ROW of a padded multi-hot field.
+
+    Returns (flat combined ids, flat combined weights, per-row combined
+    counts). v=None weighs each occurrence 1.0 (mask-only groups);
+    otherwise weights of duplicate (row, id) pairs are SUMMED — exact for
+    the reference's sum combiners (tf.nn.embedding_lookup_sparse
+    combiner="sum", DeepCvrMTL.py:155-159; linear in sp_weights) up to
+    float summation order. Measured at the published Ali-CCP regime
+    (avg 250 ids/sample, Zipf 1.2): 1.85x fewer live COO slots — every
+    M-proportional device op (pool fwd/bwd RMWs, expand) and wire byte
+    shrinks by that factor. Dispatches to the C++ per-row hash
+    (native_src/coo_combine.cpp, ~memory speed) with a np.unique
+    fallback (~103 ms/batch at B=4096 — correctness only)."""
+    from tf_repos_tpu.data import native
+
+    if native.available():
+        return native.combine_dups(a, v)
+    b, p = a.shape
+    fa = a.reshape(-1)
+    lv = np.flatnonzero(fa > 0)
+    w = (
+        v.reshape(-1)[lv].astype(np.float32)
+        if v is not None
+        else np.ones(lv.size, np.float32)
+    )
+    key = ((lv // p).astype(np.int64) << 32) | fa[lv].astype(np.int64)
+    uk, inv = np.unique(key, return_inverse=True)
+    wc = np.bincount(inv, weights=w).astype(np.float32)
+    ids_c = (uk & 0xFFFFFFFF).astype(np.int32)
+    rows = (uk >> 32).astype(np.int64)
+    cnt = np.bincount(rows, minlength=b).astype(np.int32)
+    return ids_c, wc, cnt
 
 
 MHC_IDX = "__mhc_idx"
@@ -281,10 +316,19 @@ class MhCooPacker:
     slots) or the XLA .at[].add fallback — models/esmm.py."""
 
     def __init__(self, groups, n_data: int = 1, floor: int = 1024,
-                 sorted_aux: bool = False, cdest_aux: bool = True):
+                 sorted_aux: bool = False, cdest_aux: bool = True,
+                 combine: bool = False):
         if not groups:
             raise ValueError("--mh_coo: model declares no multi-hot groups")
         self.groups = tuple(groups)  # ((field, has_vals), ...)
+        # --mh_coo_combine: sum the weights of duplicate (row, id) pairs
+        # per field before packing (combine_dups above) — exact for the
+        # reference's sum combiners, 1.85x fewer live slots at the
+        # published Ali-CCP regime. The harness gates this on
+        # model.coo_combine_ok() (DIN's attention MLP consumes w * emb
+        # NONLINEARLY — sigmoid score per slot — so combining would
+        # change its math; ESMM's pools are linear in w).
+        self.combine = bool(combine)
         self.n_data = max(int(n_data), 1)
         self._bucket = max(int(floor), 1)
         # emit the idx-sorted aux stream (perm/cidx/srows) for models
@@ -331,6 +375,23 @@ class MhCooPacker:
         cnt = np.zeros((nd, ngr, bs), np.int32)
         for g, (a, wv) in enumerate(zip(ids, ws)):
             p = a.shape[1]
+            if self.combine:
+                a3 = a.reshape(nd, bs, p)
+                w3 = (
+                    wv.reshape(nd, bs, p)
+                    if self.groups[g][1]
+                    else None  # mask-only: each occurrence weighs 1.0
+                )
+                for s in range(nd):
+                    ic, wc, cr = combine_dups(
+                        a3[s], w3[s] if w3 is not None else None
+                    )
+                    rows = np.repeat(np.arange(bs, dtype=np.int64), cr)
+                    per_idx[s].append(ic)
+                    per_dest[s].append((rows * ngr + g).astype(np.int32))
+                    per_w[s].append(wc)
+                    cnt[s, g] = cr
+                continue
             fa = a.reshape(nd, bs * p)
             fw = wv.reshape(nd, bs * p)
             for s in range(nd):

@@ -105,6 +105,17 @@ class CtrModel:
         sequence, not a sum-pool)."""
         return ()
 
+    def coo_combine_ok(self) -> bool:
+        """True when every consumer of the COO (idx, dest, w) stream is
+        LINEAR in w — then the host may sum the weights of duplicate
+        (row, id) pairs before packing (--mh_coo_combine;
+        data/sparse_batch.combine_dups), exactly reproducing the
+        reference's sum combiners with ~1.85x fewer live slots at the
+        published Ali-CCP regime. Models whose per-slot math is
+        nonlinear in w (DIN attention: sigmoid MLP over w * emb,
+        DIN.py:152-173) must return False."""
+        return False
+
     def wants_sorted_seg(self) -> bool:
         """True when the model's COO pooling rides the sorted-window
         segment kernels (needs the packer's cdest stream on the wire —

@@ -405,6 +405,13 @@ class DIN(CtrModel):
     def mh_coo_groups(self):
         return MH_COO_GROUPS
 
+    def coo_combine_ok(self) -> bool:
+        """Only without attention: the attention MLP scores each slot
+        from w * emb NONLINEARLY (sigmoid, DIN.py:152-173), so summed
+        duplicate weights change its math. The --attention_pooling=false
+        path is all sum combiners (DIN.py:179-183) = linear in w."""
+        return not self.cfg.attention_pooling
+
     def wants_sorted_seg(self) -> bool:
         return bool(self.cfg.attention_pooling)
 

@@ -247,3 +247,9 @@ class ESMM(CtrModel):
 
     def mh_coo_groups(self):
         return MH_COO_GROUPS
+
+    def coo_combine_ok(self) -> bool:
+        """Every ESMM pool is embedding_lookup_sparse combiner="sum"
+        (DeepCvrMTL.py:155-159) = linear in w — duplicate (row, id)
+        weights may be summed on the host exactly."""
+        return True

@@ -507,6 +507,17 @@ class Harness:
                     and not cfg.slim_transfer
                 )
                 floor = max(int(cfg.mh_coo_floor), 1) if cfg.mh_coo_floor else 1024
+                # --mh_coo_combine: exact only when every COO consumer
+                # is linear in w (sum combiners); DIN's attention MLP
+                # is not — auto-disable with a signal
+                comb = self._coo_combine_active()
+                if cfg.mh_coo_combine and not comb:
+                    print(
+                        f"WARNING: --mh_coo_combine disabled: "
+                        f"{self.model.name} consumes the COO w stream "
+                        "nonlinearly (per-slot attention); combining "
+                        "duplicate ids would change its math"
+                    )
                 # not under slim: the encoder drops cdest from the wire
                 # (the device rebuilds it from the counts), so emitting
                 # it would only burn host time in the packer
@@ -518,7 +529,7 @@ class Harness:
                 chain_factories.append(
                     lambda: MhCooPacker(
                         groups, n_data=n_data, sorted_aux=saux,
-                        floor=floor, cdest_aux=cdaux,
+                        floor=floor, cdest_aux=cdaux, combine=comb,
                     )
                 )
             # dedup + remap on the host, pipelined with TPU compute by the
@@ -545,10 +556,11 @@ class Harness:
                     # per-worker first-batch commits diverge (spurious
                     # mid-run contract errors, alternating idx encodings)
                     sws = SharedWireState()
+                    dwo = not self._coo_combine_active()
                     chain_factories.append(
                         lambda: AliccpSlimEncoder(
                             vocab, compress_coo=True, n_groups=ngr,
-                            shared=sws,
+                            shared=sws, drop_w_ok=dwo,
                         )
                     )
                     slim_in_chain = True
@@ -632,6 +644,17 @@ class Harness:
             packed_cache=cfg.packed_cache, **common
         )
 
+    def _coo_combine_active(self) -> bool:
+        """--mh_coo_combine is applied only when every COO consumer is
+        linear in w (model.coo_combine_ok(); sum combiners). The slim
+        encoder keys off this too: combined w is a count, never the
+        binary live mask."""
+        return bool(
+            self.cfg.mh_coo
+            and self.cfg.mh_coo_combine
+            and self.model.coo_combine_ok()
+        )
+
     def _slim_wrap(self, ds: Iterable) -> Iterable:
         """Host-side encode to the slim wire format, on the prefetch
         thread; the SlimWireModel decodes on-device inside the step."""
@@ -645,6 +668,7 @@ class Harness:
                 ds, cfg.feature_size,
                 compress_coo=jax.process_count() == 1,
                 n_groups=len(self._mh_coo_groups or ()),
+                drop_w_ok=not self._coo_combine_active(),
             )
         from tf_repos_tpu.data.slim_wire import encoding_batches
 
