@@ -95,6 +95,11 @@ def main(argv=None):
         "each ladder step recompiles the scan program)",
     )
     ap.add_argument(
+        "--no_combine", action="store_true",
+        help="disable --mh_coo_combine (A/B: the host duplicate-(row,id) "
+        "weight combine is default-on for sum-combiner models)",
+    )
+    ap.add_argument(
         "--slim", action="store_true",
         help="--slim_transfer wire format (data/slim_wire.py): halves "
         "host->device input bytes; the lever when the input link (PCIe "
@@ -124,6 +129,7 @@ def main(argv=None):
             fused_table=a.fused_table or a.dma, dma_scatter=a.dma,
             sparse_catchup=a.catchup,
             mh_coo=a.mh_coo, slim_transfer=a.slim,
+            mh_coo_combine=not a.no_combine,
             mh_coo_floor=a.mh_coo_floor, sparse_pad_mode=a.sparse_pad_mode,
             mh_bucket=a.mh_bucket, map_workers=a.map_workers,
             param_dtype=(
